@@ -1,0 +1,238 @@
+"""JSON-LD ``@id``/``@graph`` extraction and essential-field text extraction.
+
+Fidelity targets (semantics of the reference, reimplemented table-driven):
+
+* id/object extraction from a fetched JSON body — reference
+  ``code/core/worker.py:75-132``: top-level dicts bearing ``@id`` are
+  collected first (a lone dict is treated as a one-element list), then one
+  level of ``@graph`` is scanned for each container that has a ``@graph``
+  list but no ``@id`` of its own. Output order = all top-level ids, then
+  graph ids grouped by container order.
+* ``extract_essential_fields`` — reference ``code/core/vector_db.py:32-123``:
+  type-dispatched projection of a schema.org object to a compact JSON string
+  (``json.dumps`` defaults ⇒ ``ensure_ascii=True``, ``', '``/``': '``
+  separators, insertion-ordered keys), with a 6000-char budget and a
+  two-stage minimal-fields fallback. The output string per url is the
+  **byte-identical** invariant checked by tests.
+
+The Spark wrapper is a ``mapInPandas`` (1 fetched file row → N object rows),
+Arrow-batched; no per-row Python at the DataFrame layer.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Callable, Iterator
+from typing import Any
+
+import pandas as pd
+
+# ---------------------------------------------------------------------------
+# id / object extraction (pure core)
+# ---------------------------------------------------------------------------
+
+def _ided(items: list[Any]) -> list[dict]:
+    """Dicts in ``items`` that carry an ``@id``, in order."""
+    return [it for it in items if isinstance(it, dict) and "@id" in it]
+
+
+def extract_ids_and_objects(payload: Any) -> tuple[list[str], list[dict]]:
+    """Extract (ids, objects) from a parsed JSON payload.
+
+    Mirrors the reference extraction semantics (``worker.py:93-132``):
+    non-dict/list payloads yield nothing; a bare dict acts as a 1-item list;
+    ``@graph`` is descended exactly one level, and only for containers that
+    themselves lack an ``@id``.
+    """
+    if not isinstance(payload, (dict, list)):
+        return [], []
+    top = payload if isinstance(payload, list) else [payload]
+
+    objects = _ided(top)
+    for container in top:
+        if (
+            isinstance(container, dict)
+            and "@graph" in container
+            and "@id" not in container
+            and isinstance(container["@graph"], list)
+        ):
+            objects.extend(_ided(container["@graph"]))
+    return [o["@id"] for o in objects], objects
+
+
+def extract_from_bytes(body: bytes | str | None) -> tuple[list[str], list[dict]]:
+    """Parse a fetched body and extract ids/objects; parse errors → empty."""
+    if body is None:
+        return [], []
+    try:
+        text = body.decode("utf-8") if isinstance(body, (bytes, bytearray)) else body
+        return extract_ids_and_objects(json.loads(text))
+    except (ValueError, UnicodeDecodeError):
+        return [], []
+
+
+# ---------------------------------------------------------------------------
+# essential-fields text extraction (pure core, table-driven)
+# ---------------------------------------------------------------------------
+
+_COMMON_FIELDS = ("name", "description", "headline", "text", "abstract", "summary")
+
+_TEXT_BUDGET = 6000  # reference MAX_CHARS (vector_db.py:107)
+
+
+def _copy_verbatim(value: Any) -> Any:
+    return value
+
+
+def _name_or_value(value: Any) -> Any:
+    # nested object → its name; list → names of first 5 entries
+    if isinstance(value, dict) and "name" in value:
+        return value["name"]
+    if isinstance(value, list):
+        return [
+            v["name"] if isinstance(v, dict) and "name" in v else v
+            for v in value[:5]
+        ]
+    return value
+
+
+def _name_only(value: Any) -> Any:
+    return value["name"] if isinstance(value, dict) and "name" in value else value
+
+
+def _product_shrink(field: str) -> Callable[[Any], Any]:
+    def shrink(value: Any) -> Any:
+        if field == "offers" and isinstance(value, dict):
+            return {"price": value.get("price"), "availability": value.get("availability")}
+        if field == "aggregateRating" and isinstance(value, dict):
+            return {"ratingValue": value.get("ratingValue"), "ratingCount": value.get("ratingCount")}
+        return value
+
+    return shrink
+
+
+# dispatch table: (type-substring predicates, [(field, transform), ...])
+_TYPE_RULES: list[tuple[tuple[str, ...], list[tuple[str, Callable[[Any], Any]]]]] = [
+    (
+        ("Recipe",),
+        [(f, _copy_verbatim) for f in (
+            "recipeIngredient", "recipeYield", "totalTime", "cookTime",
+            "prepTime", "recipeCategory", "recipeCuisine", "keywords",
+        )],
+    ),
+    (
+        ("Movie", "TVSeries"),
+        [(f, _name_or_value) for f in (
+            "genre", "datePublished", "director", "actor", "duration", "contentRating",
+        )],
+    ),
+    (
+        ("Product",),
+        [(f, _product_shrink(f)) for f in (
+            "brand", "model", "offers", "aggregateRating", "category",
+        )],
+    ),
+    (
+        ("Article", "NewsArticle"),
+        [(f, _name_only) for f in (
+            "author", "datePublished", "publisher", "articleSection",
+        )],
+    ),
+]
+
+
+def extract_essential_fields(obj: dict) -> str:
+    """Compact JSON projection of a schema.org object (byte-identical target).
+
+    Reimplements the reference's projection (``vector_db.py:32-123``) as a
+    dispatch table; output string is byte-equal for every input the reference
+    handles.
+    """
+    kept: dict[str, Any] = {}
+    if "@type" in obj:
+        kept["@type"] = obj["@type"]
+    if "@id" in obj:
+        kept["@id"] = obj["@id"]
+    for field in _COMMON_FIELDS:
+        if field in obj:
+            kept[field] = obj[field]
+
+    type_tag = obj.get("@type", "")
+    if isinstance(type_tag, list):
+        type_tag = type_tag[0] if type_tag else ""
+
+    for substrings, field_rules in _TYPE_RULES:
+        if any(s in type_tag for s in substrings):
+            for field, transform in field_rules:
+                if field in obj:
+                    kept[field] = transform(obj[field])
+            break  # reference dispatch is an elif-chain: first match wins
+
+    rendered = json.dumps(kept)
+    if len(rendered) > _TEXT_BUDGET:
+        minimal = {
+            "@type": kept.get("@type"),
+            "@id": kept.get("@id"),
+            "name": kept.get("name", "")[:500],
+            "description": kept.get("description", "")[:1000],
+        }
+        rendered = json.dumps(minimal)
+        if len(rendered) > _TEXT_BUDGET:
+            rendered = rendered[:_TEXT_BUDGET]
+    return rendered
+
+
+def join_types(type_tag: Any) -> str:
+    """``@type`` display string: lists joined with ``', '`` (vector_db.py:237-239)."""
+    if isinstance(type_tag, list):
+        return ", ".join(str(t) for t in type_tag)
+    return str(type_tag) if type_tag is not None else ""
+
+
+# ---------------------------------------------------------------------------
+# Spark wrappers
+# ---------------------------------------------------------------------------
+
+#: output schema of :func:`explode_jsonld` — one row per extracted object.
+EXTRACTED_SCHEMA = (
+    "file_url string, id string, obj_json string, types string, "
+    "essential_text string, position int, num_ids int"
+)
+
+
+def explode_jsonld(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """``mapInPandas`` kernel: fetched file rows → extracted object rows.
+
+    Input columns: ``file_url`` (string), ``body`` (binary or string).
+    Emits one row per ``@id``-bearing object with the byte-fidelity
+    ``essential_text`` already computed (the reference computes it just
+    before embedding — hoisting it here keeps one Python hop per row total).
+    Files yielding no objects emit a single null-id row so fetch accounting
+    (``num_ids == 0``) survives; callers filter ``id IS NOT NULL``.
+    """
+    for pdf in batches:
+        out: dict[str, list] = {
+            "file_url": [], "id": [], "obj_json": [], "types": [],
+            "essential_text": [], "position": [], "num_ids": [],
+        }
+        for file_url, body in zip(pdf["file_url"], pdf["body"]):
+            ids, objects = extract_from_bytes(body)
+            n = len(ids)
+            if n == 0:
+                out["file_url"].append(file_url)
+                out["id"].append(None)
+                out["obj_json"].append(None)
+                out["types"].append(None)
+                out["essential_text"].append(None)
+                out["position"].append(0)
+                out["num_ids"].append(0)
+                continue
+            for pos, (oid, obj) in enumerate(zip(ids, objects)):
+                out["file_url"].append(file_url)
+                out["id"].append(oid)
+                out["obj_json"].append(json.dumps(obj))
+                out["types"].append(join_types(obj.get("@type")))
+                out["essential_text"].append(extract_essential_fields(obj))
+                out["position"].append(pos)
+                out["num_ids"].append(n)
+        yield pd.DataFrame(out)

@@ -1,0 +1,54 @@
+"""SparkSession construction with scale-oriented defaults.
+
+Single place where every entrypoint (tests, bench, driver contract) gets its
+session, so the tuning story is consistent: AQE on (runtime coalescing +
+skew-join splitting), Arrow on (vectorized pandas UDF transfer), and a
+shuffle-partition count tied to core count rather than the 200 default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    app_name: str = "crawler_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or reuse) a local SparkSession tuned for this engine.
+
+    ``cores=None`` → ``local[*]``. ``shuffle_partitions`` defaults to
+    2×cores — small enough to avoid tiny-task overhead at test scale, and AQE
+    re-coalesces at runtime anyway; on a real cluster this is overridden via
+    ``spark-submit --conf``.
+    """
+    if cores is None:
+        env_cores = os.environ.get("SPARK_GRAFT_CPUS")
+        cores = int(env_cores) if env_cores else (os.cpu_count() or 4)
+    if shuffle_partitions is None:
+        shuffle_partitions = max(2 * cores, 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cores}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(cores))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Broadcast threshold: robots/politeness state and dim tables are
+        # small; make sure they broadcast instead of shuffling the big side.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
