@@ -1,0 +1,167 @@
+"""End-to-end epoch-loop tests against the plain-Python oracle.
+
+Reference analogues (SURVEY.md §5): ``testing/test_dynamic_updates.py``
+(3-phase add/remove with exact per-site totals), ``test_file_removal.py``
+(is_active=0 + zero ids per removed file), ``test_job_recovery.py``
+(kill-and-resume), plus the crawl-ordering contract of SURVEY.md §2.9.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_spark.crawl import CrawlConfig, CrawlEngine
+from crawler_spark.sources.synth import corpus_pages_df, seeds_df, site_host
+from crawler_spark.sources.tables import SnapshotStore
+from tests.py_oracle import OracleState, crawl_fixed_point, pages_dict
+
+N_SITES = 3
+CHUNKS = 3
+ITEMS = 5
+
+
+@pytest.fixture()
+def small_corpus(spark):
+    pages = corpus_pages_df(spark, N_SITES, CHUNKS, items_per_chunk=ITEMS)
+    seeds = seeds_df(spark, N_SITES)
+    return pages, seeds
+
+
+def build_engine(spark, tmp_path, pages, **cfg_kwargs):
+    cfg = CrawlConfig(num_partitions=8, salt_buckets=4, **cfg_kwargs)
+    return CrawlEngine(spark, SnapshotStore(tmp_path / "state"), pages, cfg)
+
+
+def engine_state(engine):
+    seen = {
+        (r["file_url"], r["user_id"], r["id"])
+        for r in engine.url_seen().collect()
+    }
+    docs = {
+        r["id"]: {"url": r["url"], "site": r["site"], "type": r["type"],
+                  "content": r["content"], "essential_text": r["essential_text"]}
+        for r in engine.documents().collect()
+    }
+    return seen, docs
+
+
+def test_crawl_matches_oracle(spark, tmp_path, small_corpus):
+    pages, seeds = small_corpus
+    engine = build_engine(spark, tmp_path, pages)
+    engine.bootstrap(seeds)
+    reports = engine.run()
+    assert reports[-1].selected == 0  # reached fixed point
+
+    oracle = crawl_fixed_point(
+        pages_dict(pages.collect()),
+        [(site_host(i), "test:user001") for i in range(N_SITES)],
+    )
+
+    seen, docs = engine_state(engine)
+    assert seen == oracle.url_seen
+    assert len(seen) == N_SITES * CHUNKS * ITEMS
+
+    # documents: same keys, byte-identical essential text + content per url
+    assert set(docs) == set(oracle.documents)
+    for key, doc in oracle.documents.items():
+        got = docs[key]
+        assert got["essential_text"] == doc["essential_text"], key
+        assert got["content"] == doc["content"], key
+        assert got["type"] == doc["type"]
+        assert got["url"] == doc["url"]
+        assert len_embedding_ok(engine, key)
+
+    # frontier: every file done with the right item count
+    frontier = engine.frontier().filter(F.col("job_type") == "process_file")
+    rows = frontier.collect()
+    assert len(rows) == N_SITES * CHUNKS
+    assert all(r["status"] == "done" and r["number_of_items"] == ITEMS for r in rows)
+
+
+def len_embedding_ok(engine, key) -> bool:
+    row = engine.documents().filter(F.col("id") == key).select(F.size("embedding")).first()
+    return row[0] == 1536
+
+
+def test_dynamic_add_remove_phases(spark, tmp_path):
+    """Phases mirror test_dynamic_updates.py: {0,1,2} → +{3,4} → −{1}."""
+    user = "test:user001"
+    seeds = seeds_df(spark, 1).withColumn("interval_hours", F.lit(0))
+
+    def corpus(chunk_ids):
+        return corpus_pages_df(
+            spark, 1, 5, items_per_chunk=ITEMS, sitemap_chunks={0: chunk_ids}
+        )
+
+    phases = [[0, 1, 2], [0, 1, 2, 3, 4], [0, 2, 3, 4]]
+    store = SnapshotStore(tmp_path / "state")
+    oracle = OracleState()
+
+    for chunk_ids in phases:
+        pages = corpus(chunk_ids)
+        engine = CrawlEngine(spark, store, pages, CrawlConfig(num_partitions=8, salt_buckets=4))
+        engine.bootstrap(seeds)
+        engine.run(discover_each_epoch=True)
+        oracle = crawl_fixed_point(pages_dict(pages.collect()), [(site_host(0), user)], oracle)
+
+        seen, docs = engine_state(engine)
+        assert seen == oracle.url_seen, f"phase {chunk_ids}"
+        assert set(docs) == set(oracle.documents), f"phase {chunk_ids}"
+
+    # removal invariants (test_file_removal.py analogue): chunk1 inactive, 0 ids
+    frontier = engine.frontier()
+    removed_url = f"https://{site_host(0)}/chunk1.json"
+    row = frontier.filter(
+        (F.col("file_url") == removed_url) & (F.col("job_type") == "process_file")
+    ).first()
+    assert row["is_active"] is False
+    assert not any(t[0] == removed_url for t in oracle.url_seen)
+    n_ids = engine.url_seen().filter(F.col("file_url") == removed_url).count()
+    assert n_ids == 0
+
+
+def test_resume_from_checkpoint(spark, tmp_path, small_corpus):
+    """Kill after the first epoch; a fresh engine must finish identically."""
+    pages, seeds = small_corpus
+
+    full = build_engine(spark, tmp_path / "a", pages, per_host_budget=2)
+    full.bootstrap(seeds)
+    full.run()
+    want_seen, want_docs = engine_state(full)
+
+    part = build_engine(spark, tmp_path / "b", pages, per_host_budget=2)
+    part.bootstrap(seeds)
+    part.discover(0)
+    part.run_epoch(0)  # "crash" here: abandon this engine object
+
+    resumed = build_engine(spark, tmp_path / "b", pages, per_host_budget=2)
+    resumed.run()  # picks up from the manifest
+    got_seen, got_docs = engine_state(resumed)
+
+    assert got_seen == want_seen
+    assert set(got_docs) == set(want_docs)
+    assert resumed.store.read_manifest()["epoch"] >= 1
+
+
+def test_politeness_budget_and_order(spark, tmp_path):
+    """budget=1 → one fetch per host per epoch, FIFO (queued_at, file_url)."""
+    pages = corpus_pages_df(spark, 1, 4, items_per_chunk=2)
+    seeds = seeds_df(spark, 1)
+    engine = build_engine(spark, tmp_path, pages, per_host_budget=1)
+    engine.bootstrap(seeds)
+    reports = engine.run()
+
+    fetch_epochs = [r for r in reports if r.fetched_ok > 0]
+    assert all(r.fetched_ok == 1 for r in fetch_epochs)
+    assert len(fetch_epochs) == 4
+
+    # crawl order = (epoch, queued_at, file_url): chunk files in url order
+    metrics = engine.store.read(spark, "metrics")
+    ordered = [
+        r["url"] for r in metrics.filter(F.col("status_code") == 200)
+        .orderBy("epoch", "ts", "url").collect()
+    ]
+    assert ordered == sorted(ordered[:1]) + sorted(ordered[1:])  # epochs ascend
+    expected = [f"https://{site_host(0)}/chunk{i}.json" for i in range(4)]
+    assert ordered == expected
