@@ -299,10 +299,12 @@ class CrawlEngine:
         )
         existing = seen_df.join(processed_keys, ["file_url", "user_id"], "left_semi")
 
-        ext_ids = extracted.select("file_url", "user_id", "id", "queued_at")
-        added = seen.anti_join_new_ids(
-            ext_ids, existing.select("file_url", "user_id", "id"), use_bloom=cfg.use_bloom
+        ext_ids = extracted.select(
+            "file_url", "user_id", "id", "queued_at",
+            host_hash_expr(host_from_url_expr(F.col("file_url")), cfg.num_partitions)
+            .alias("host_hash"),
         )
+        added = seen.anti_join_new_ids(ext_ids, existing, use_bloom=cfg.use_bloom)
         removed = existing.select("file_url", "user_id", "id").join(
             ext_ids, ["file_url", "user_id", "id"], "left_anti"
         )
@@ -311,15 +313,8 @@ class CrawlEngine:
         rep.ids_removed = removed.count()
 
         seen_after = (
-            seen_df.join(removed.withColumn("_r", F.lit(True)),
-                         ["file_url", "user_id", "id"], "left_anti")
-            .unionByName(
-                added.select(
-                    "file_url", "user_id", "id",
-                    host_hash_expr(host_from_url_expr(F.col("file_url")), cfg.num_partitions)
-                    .alias("host_hash"),
-                )
-            )
+            seen_df.join(removed, ["file_url", "user_id", "id"], "left_anti")
+            .unionByName(added.select("file_url", "user_id", "id", "host_hash"))
         )
 
         # --- ref-count gates (A1) BEFORE the expensive embed stage ---

@@ -19,52 +19,104 @@ goes through the exact anti-join (SURVEY.md §4 custom piece #2).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
 
 _ID_KEY = ["file_url", "user_id", "id"]
 
+_BLOOM_K = 4            # hash functions (double hashing)
+_BITS_PER_ITEM = 12     # ~0.3% fpp at k=4
+_H1_KEY = "0123456789abcdef"
+_H2_KEY = "fedcba9876543210"
 
-def bloom_supported(spark) -> bool:
-    """Spark ≥3.5 ships ``bloom_filter_agg``/``might_contain`` as SQL fns."""
-    try:
-        spark.sql("SELECT might_contain(bloom_filter_agg(xxhash64('x')), xxhash64('x'))").collect()
-        return True
-    except Exception:
-        return False
+BLOOM_SCHEMA = StructType([
+    StructField("host_hash", IntegerType(), True),
+    StructField("bloom", BinaryType(), True),
+    StructField("m_bits", LongType(), True),
+    StructField("n_items", LongType(), True),
+])
 
 
-def split_by_bloom(
-    incoming: DataFrame,
-    seen: DataFrame,
-    key: str = "id",
-    expected_items: int | None = None,
-    fpp_bits: int | None = None,
-) -> tuple[DataFrame, DataFrame]:
-    """(definitely_new, maybe_seen) split of ``incoming`` by a Bloom filter
-    aggregated over ``seen[key]``.
+def _bloom_positions(keys: pd.Series, m_bits: int) -> np.ndarray:
+    """(k, n) bit positions via double hashing of two independent 64-bit
+    vectorized hashes (pandas' SipHash with fixed keys — deterministic)."""
+    h1 = pd.util.hash_pandas_object(keys, index=False, hash_key=_H1_KEY).to_numpy(np.uint64)
+    h2 = pd.util.hash_pandas_object(keys, index=False, hash_key=_H2_KEY).to_numpy(np.uint64) | np.uint64(1)
+    m = np.uint64(m_bits)
+    return np.stack([(h1 + np.uint64(i) * h2) % m for i in range(_BLOOM_K)])
 
-    ``definitely_new`` rows skip the expensive anti-join shuffle entirely;
-    ``maybe_seen`` rows (a small fraction at steady state: true duplicates +
-    ~fpp of new) continue into the exact check. Falls back to
-    (incoming, empty) when the Bloom functions are unavailable.
+
+def _composite(pdf: pd.DataFrame) -> pd.Series:
+    return pdf["file_url"].astype(str) + "\x1f" + pdf["user_id"].astype(str) + "\x1f" + pdf["id"].astype(str)
+
+
+def build_host_blooms(seen: DataFrame, bits_per_item: int = _BITS_PER_ITEM) -> DataFrame:
+    """One Bloom blob per ``host_hash`` bucket over the seen-set composite key.
+
+    The north_rule's *partitioned* Bloom URL-seen pre-filter: blobs are built
+    where the data lives (``applyInPandas`` per bucket — one pass, no
+    driver-side state) and sized to the bucket (``bits_per_item`` × rows).
     """
-    spark = incoming.sparkSession
-    if not bloom_supported(spark):
-        return incoming, incoming.limit(0)
 
-    n = expected_items or 1_000_000
-    bits = fpp_bits or max(8 * n, 1 << 20)
-    bloom_row = seen.select(
-        F.expr(f"bloom_filter_agg(xxhash64({key}), cast({n} as long), cast({bits} as long))").alias("bf")
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        m = max(1 << 10, int(bits_per_item * n))
+        m += (-m) % 8  # byte-align
+        bits = np.zeros(m, dtype=bool)
+        pos = _bloom_positions(_composite(pdf), m)
+        bits[pos.ravel()] = True
+        return pd.DataFrame([{
+            "host_hash": int(pdf["host_hash"].iloc[0]),
+            "bloom": np.packbits(bits).tobytes(),
+            "m_bits": m,
+            "n_items": n,
+        }])
+
+    return seen.groupBy("host_hash").applyInPandas(build, schema=BLOOM_SCHEMA)
+
+
+def split_by_bloom(incoming: DataFrame, seen: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(definitely_new, maybe_seen) split of ``incoming`` by per-bucket Blooms.
+
+    Both inputs carry ``host_hash``. Implemented as a *cogrouped* pandas op:
+    each bucket's candidate rows meet that bucket's single Bloom blob —
+    the blob is never replicated per row, and buckets process in parallel.
+    ``definitely_new`` rows skip the exact anti-join shuffle entirely;
+    ``maybe_seen`` (true dups + ~0.3% false positives) continue to the exact
+    check, so the final seen set is exact (SURVEY.md §4 custom piece #2).
+    """
+    from pyspark.sql.types import BooleanType
+
+    blooms = build_host_blooms(seen)
+    out_schema = StructType(incoming.schema.fields + [StructField("maybe_seen", BooleanType(), False)])
+
+    def probe(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return left.assign(maybe_seen=pd.Series([], dtype=bool))
+        if right.empty:
+            return left.assign(maybe_seen=False)
+        blob = right.iloc[0]
+        bits = np.unpackbits(np.frombuffer(blob["bloom"], dtype=np.uint8)).astype(bool)
+        pos = _bloom_positions(_composite(left), int(blob["m_bits"]))
+        return left.assign(maybe_seen=bits[pos].all(axis=0))
+
+    flagged = (
+        incoming.groupBy("host_hash")
+        .cogroup(blooms.groupBy("host_hash"))
+        .applyInPandas(probe, schema=out_schema)
     )
-    # single binary blob → broadcast joined (scalar) onto incoming;
-    # empty seen set aggregates to NULL → coalesce to "no hit"
-    probed = incoming.join(F.broadcast(bloom_row))
-    hit = F.coalesce(F.expr(f"might_contain(bf, xxhash64({key}))"), F.lit(False))
     return (
-        probed.filter(~hit).drop("bf"),
-        probed.filter(hit).drop("bf"),
+        flagged.filter(~F.col("maybe_seen")).drop("maybe_seen"),
+        flagged.filter(F.col("maybe_seen")).drop("maybe_seen"),
     )
 
 
@@ -84,14 +136,16 @@ def anti_join_new_ids(
     extracted: DataFrame,
     seen: DataFrame,
     use_bloom: bool = True,
-    expected_items: int | None = None,
 ) -> DataFrame:
     """Rows of ``extracted`` whose (file_url, user_id, id) is not in ``seen``,
-    with the Bloom pre-filter in front of the exact anti-join."""
+    with the partitioned Bloom pre-filter in front of the exact anti-join.
+
+    Both frames must carry ``host_hash`` when ``use_bloom`` is set.
+    """
     if not use_bloom:
         return extracted.join(seen, _ID_KEY, "left_anti")
-    fresh, maybe = split_by_bloom(extracted, seen, key="id", expected_items=expected_items)
-    checked = maybe.join(seen, _ID_KEY, "left_anti")
+    fresh, maybe = split_by_bloom(extracted, seen)
+    checked = maybe.join(seen.select(*_ID_KEY), _ID_KEY, "left_anti")
     return fresh.unionByName(checked)
 
 
