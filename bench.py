@@ -1,0 +1,150 @@
+"""Benchmark driver: headline queries + crawl throughput on one JSON line.
+
+Run:  python bench.py
+Env:  SPARK_GRAFT_SF_DIR  (default /root/testdata/sf0.1)
+      SPARK_GRAFT_CPUS    (default 32)
+      SPARK_GRAFT_SCALING (set to 1 to also run the N-vs-4N core scaling
+                           evidence — see BENCH/BASELINE.md)
+
+Output: one JSON line
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "crawl": {...}}
+
+The crawl section reports the authoritative BASELINE.json metric — URLs
+fetched+deduped per second over a deterministic synthetic frontier (hot-host
+skew included) — measured end-to-end through the epoch loop (discovery,
+politeness, fetch-join, extract, Bloom+anti-join dedup, ref-count, index,
+snapshot commit).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+#: headline catalog queries (names from crawler_spark.plans.queries.CATALOG);
+#: chosen to cover scan-agg, shuffle joins, windows, dedup, ANN and text ops.
+BENCH_QUERIES = [
+    "pricing_summary",
+    "shipping_priority",
+    "region_revenue",
+    "site_status_rollup",
+    "url_seen_refcount",
+    "first_occurrence_gate",
+    "per_host_budget",
+    "windowed_events",
+    "json_extract_agg",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "text_quality",
+    "token_stats",
+    "top_tokens",
+]
+
+# crawl corpus per sf: (n_sites, chunks_per_site, items_per_chunk, hot_chunks)
+_CRAWL_SCALE = {
+    "sf0.001": (3, 3, 50, 6),
+    "sf0.01": (10, 6, 200, 24),
+    "sf0.1": (40, 10, 400, 80),
+}
+
+
+def _sf_tag(sf_dir: str) -> str:
+    return Path(sf_dir).name
+
+
+def run_queries(spark, sf_dir: str) -> dict[str, float]:
+    from crawler_spark.plans.queries import CATALOG
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn, _ = CATALOG[name]
+        t0 = time.time()
+        n = fn(spark, sf_dir).count()  # full materialization
+        timings[name] = round(time.time() - t0, 3)
+        assert n >= 0
+    return timings
+
+
+def run_crawl_bench(spark, sf_tag: str, cores: int) -> dict:
+    from crawler_spark.crawl import CrawlConfig, CrawlEngine
+    from crawler_spark.sources.synth import corpus_pages_df, seeds_df
+    from crawler_spark.sources.tables import SnapshotStore
+
+    n_sites, chunks, items, hot = _CRAWL_SCALE.get(sf_tag, _CRAWL_SCALE["sf0.1"])
+    pages = corpus_pages_df(
+        spark, n_sites, chunks, items_per_chunk=items, hot_site_chunks=hot
+    )
+    # materialize the corpus once so generation cost is not billed to the crawl
+    tmp = tempfile.mkdtemp(prefix="crawl_bench_")
+    corpus_path = f"{tmp}/pages"
+    pages.write.mode("overwrite").parquet(corpus_path)
+    pages = spark.read.parquet(corpus_path)
+    seeds = seeds_df(spark, n_sites)
+
+    cfg = CrawlConfig(
+        num_partitions=max(cores, 8),
+        per_host_budget=max(chunks, hot),
+        salt_buckets=16,
+        collect_stats=False,
+    )
+    engine = CrawlEngine(spark, SnapshotStore(f"{tmp}/state"), pages, cfg)
+    engine.bootstrap(seeds)
+    t0 = time.time()
+    reports = engine.run()
+    wall = time.time() - t0
+
+    # totals from committed state (no per-epoch counting jobs were run)
+    from pyspark.sql import functions as F
+    fetched = engine.frontier().filter(
+        (F.col("status") == "done") & (F.col("job_type") == "process_file")).count()
+    deduped = engine.url_seen().count()
+    out = {
+        "epochs": len(reports),
+        "files_fetched": fetched,
+        "ids_deduped": deduped,
+        "wall_s": round(wall, 3),
+        "urls_per_sec": round((fetched + deduped) / wall, 1) if wall > 0 else 0.0,
+    }
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def main() -> None:
+    from crawler_spark.session import build_session
+
+    sf_tag = _sf_tag(SF_DIR)
+    spark = build_session(app_name="crawler_spark_bench", cores=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings = run_queries(spark, SF_DIR)
+    crawl = run_crawl_bench(spark, sf_tag, CPUS)
+    total = round(sum(timings.values()), 3)
+
+    result = {
+        "metric": "headline query suite wall time (sum) + crawl urls/sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_tag,
+        "cpus": CPUS,
+        "crawl": crawl,
+    }
+    spark.stop()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

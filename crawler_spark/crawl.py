@@ -56,6 +56,9 @@ class CrawlConfig:
     use_bloom: bool = True
     embed_documents: bool = True
     max_epochs: int = 50
+    #: per-epoch counters in EpochReport cost extra Spark jobs; bench turns
+    #: them off and derives totals from the committed state instead.
+    collect_stats: bool = True
 
 
 @dataclass
@@ -283,7 +286,8 @@ class CrawlEngine:
             .dropDuplicates(["file_url", "user_id", "id"])  # U1 set(ids)
         )
         extracted.cache()
-        rep.ids_extracted = extracted.count()
+        if cfg.collect_stats:
+            rep.ids_extracted = extracted.count()
 
         # fetch accounting for metrics (A6): bytes + ids per url
         per_file = (
@@ -309,8 +313,9 @@ class CrawlEngine:
             ext_ids, ["file_url", "user_id", "id"], "left_anti"
         )
         added.cache(); removed.cache()
-        rep.ids_added = added.count()
-        rep.ids_removed = removed.count()
+        if cfg.collect_stats:
+            rep.ids_added = added.count()
+            rep.ids_removed = removed.count()
 
         seen_after = (
             seen_df.join(removed, ["file_url", "user_id", "id"], "left_anti")
@@ -395,6 +400,10 @@ class CrawlEngine:
         )
 
         # --- commit ---
+        docs_before = (
+            self.store.read(self.spark, "documents").count()
+            if cfg.collect_stats and self.store.exists("documents") else 0
+        )
         versions = {
             "frontier": self.store.write(
                 frontier_after.repartition(cfg.num_partitions, "host_hash"), "frontier"),
@@ -402,14 +411,16 @@ class CrawlEngine:
                 seen_after.repartition(cfg.num_partitions, "host_hash"), "url_seen"),
             "documents": self.store.write(docs_after, "documents"),
         }
-        if self.store.exists("metrics"):
-            metrics = self.store.read(self.spark, "metrics").unionByName(metrics)
-        versions["metrics"] = self.store.write(metrics, "metrics")
+        # per-epoch lineage is append-only: O(1) write, unioned at read time
+        self.store.append(metrics, "metrics", f"{epoch:06d}")
 
-        rep.fetched_ok = done.count()
-        rep.fetch_failed = failed.count()
-        if new_docs is not None:
-            rep.docs_added = new_docs.count()
+        if cfg.collect_stats:
+            rep.fetched_ok = done.count()
+            rep.fetch_failed = failed.count()
+            # parquet footer count of the snapshot just written — never
+            # re-runs the embed stage
+            self.store.commit(epoch, versions, lineage_row=None)  # visibility for the read below
+            rep.docs_added = self.store.read(self.spark, "documents").count() - docs_before
         self.store.commit(epoch, versions, lineage_row={
             "stage": "epoch", "selected": rep.selected, "fetched_ok": rep.fetched_ok,
             "ids_added": rep.ids_added, "ids_removed": rep.ids_removed,

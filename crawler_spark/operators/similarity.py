@@ -1,0 +1,134 @@
+"""Similarity search over embedding columns: brute-force and LSH-bucketed.
+
+Two paths, same contract (top-k cosine neighbors per query):
+
+* ``brute_force_topk`` — exact: broadcast the (small) query set against the
+  candidate table, JVM higher-order dot products, per-query window top-k.
+  This is the ground truth and right up to ~10^7 candidates × few queries.
+* ``lsh_topk`` — the 10^10-scale path: sign-random-projection LSH buckets
+  candidates by a b-bit sketch; each query probes its own bucket plus the
+  ``n_probe`` nearest buckets by sketch hamming distance, so the pairwise
+  stage touches ~``n_probe / 2^b`` of the corpus. Recall is tunable
+  (b, n_probe); exactness is NOT claimed — tests measure recall against the
+  brute-force truth.
+
+Projections are deterministic (seeded hash), generated driver-side as a
+``b × dim`` float array and broadcast — no RNG state on executors.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+
+def _as_double(col: str) -> F.Column:
+    return F.expr(f"transform({col}, x -> cast(x AS double))")
+
+
+def _norm(col: str) -> F.Column:
+    return F.sqrt(F.expr(f"aggregate({col}, 0D, (acc, x) -> acc + x * x)"))
+
+
+def _dot(a: str, b: str) -> F.Column:
+    return F.expr(f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+
+
+def brute_force_topk(
+    queries: DataFrame, candidates: DataFrame, k: int = 5,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, rank, neighbor_id, cosine)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    ).withColumn("qn", _norm("qv"))
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
+    ).withColumn("cn", _norm("cv"))
+    scored = (
+        F.broadcast(q).join(c, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", _dot("qv", "cv") / (F.col("qn") * F.col("cn")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def _projections(dim: int, bits: int, seed: int = 7) -> np.ndarray:
+    raw = hashlib.sha256(f"lsh|{seed}|{dim}|{bits}".encode()).digest()
+    rng = np.random.default_rng(int.from_bytes(raw[:8], "big"))
+    return rng.standard_normal((bits, dim))
+
+
+def _sketch_udf(planes: np.ndarray):
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(LongType())
+    def sketch(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy())              # (n, dim) per Arrow batch
+        signs = mat @ planes.T > 0                   # (n, bits)
+        weights = (1 << np.arange(planes.shape[0])).astype(np.int64)
+        return pd.Series(signs @ weights)
+
+    return sketch
+
+
+def lsh_topk(
+    queries: DataFrame, candidates: DataFrame, k: int = 5,
+    bits: int = 8, n_probe: int = 3,
+    id_col: str = "vec_id", vec_col: str = "embedding", dim: int | None = None,
+) -> DataFrame:
+    """Approximate cosine top-k via sign-random-projection bucketing.
+
+    Candidates shuffle once on their bucket id; each query fans out to the
+    ``n_probe`` buckets nearest its own sketch (hamming), then the bucketed
+    pairwise scoring + window top-k run exactly like brute force but on a
+    ~``n_probe/2^bits`` slice of the corpus.
+    """
+    if dim is None:
+        dim = len(candidates.select(vec_col).first()[0])
+    planes = _projections(dim, bits)
+    sketch = _sketch_udf(planes)
+
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
+    ).withColumn("cn", _norm("cv")).withColumn("bucket", sketch(F.col("cv")))
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    ).withColumn("qn", _norm("qv")).withColumn("qbucket", sketch(F.col("qv")))
+
+    # probe set: all 2^bits buckets ranked by hamming to the query's sketch
+    all_buckets = F.expr(f"sequence(0, {(1 << bits) - 1})")
+    probes = (
+        q.withColumn("bucket", F.explode(all_buckets))
+        .withColumn("ham", F.bit_count(F.expr("qbucket ^ bucket")))
+        .withColumn(
+            "probe_rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("ham", "bucket")),
+        )
+        .filter(F.col("probe_rank") <= n_probe)
+        .select("query_id", "qv", "qn", "bucket")
+    )
+
+    scored = (
+        F.broadcast(probes)
+        .join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", _dot("qv", "cv") / (F.col("qn") * F.col("cn")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )

@@ -1,0 +1,929 @@
+"""Operator catalog over the driver's testdata tables.
+
+One named query per operator family of SURVEY.md §2 plus the training-data
+pipeline operators (dedup / similarity / text analysis). Each entry is a
+Spark DataFrame plan and a byte-equivalent DuckDB oracle SQL string; the
+driver runs both at sf=0.01 and compares row-count + schema + value-hash.
+
+Cross-engine determinism rules used throughout:
+
+* no floating-point arithmetic in outputs unless unavoidable — money-style
+  sums are emitted as integer cents via ``floor(x*100 + 0.5)`` (the same
+  IEEE multiply/add in both engines → identical bits → identical ints);
+* every hash is ``md5``/``sha256`` hex (identical in Spark and DuckDB;
+  verified), never engine-native ``hash()``;
+* all top-k orderings carry a unique tiebreak column;
+* aggregates/computed columns aliased identically on both sides.
+
+Scale notes are attached per query (broadcast hints on dims, partial-agg
+shapes, skew-safe windows); ``tests/test_driver_contract.py`` replays the
+driver's comparison at sf0.001.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from crawler_spark.functions.canonical import normalize_site_url_expr
+
+Query = Callable[[SparkSession, str], DataFrame]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _cents(col) -> F.Column:
+    """Deterministic integer cents: same IEEE ops in Spark and DuckDB."""
+    return F.floor(col * F.lit(100.0) + F.lit(0.5)).cast("long")
+
+
+_CENTS_SQL = "CAST(FLOOR({expr} * 100.0 + 0.5) AS BIGINT)"
+
+
+# =====================================================================
+# crawl-shaped relational operators (SURVEY.md §2.2-2.6)
+# =====================================================================
+
+def q_frontier_new_urls(spark, sf_dir):
+    """J1 — anti-join 'new files': customers with no big order yet."""
+    customer = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return (
+        customer.join(big, customer.c_custkey == big.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+SQL_FRONTIER_NEW = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+"""
+
+
+def q_frontier_removed_urls(spark, sf_dir):
+    """J2 — reverse anti-join 'removed files': parts never shipped in bulk."""
+    part = _t(spark, sf_dir, "part")
+    bulk = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45)
+    return (
+        part.join(bulk, part.p_partkey == bulk.l_partkey, "left_anti")
+        .select("p_partkey", "p_name")
+    )
+
+
+SQL_FRONTIER_REMOVED = """
+SELECT p_partkey, p_name
+FROM part
+WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_partkey = p_partkey AND l_quantity >= 45)
+"""
+
+
+def q_frontier_guard_semi(spark, sf_dir):
+    """F2/J8 — semi-join existence guard, grouped queue-depth style (A4)."""
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey, "left_semi")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+SQL_GUARD_SEMI = """
+SELECT o_orderstatus, count(*) AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+GROUP BY o_orderstatus
+"""
+
+
+def q_url_seen_refcount(spark, sf_dir):
+    """A1 — reference counts: one hash agg, map-side combined."""
+    events = _t(spark, sf_dir, "events")
+    return events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("ref_count"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
+SQL_REFCOUNT = """
+SELECT user_id, count(*) AS ref_count, count(DISTINCT event_type) AS n_types
+FROM events GROUP BY user_id
+"""
+
+
+def q_first_occurrence(spark, sf_dir):
+    """A1 gate — first occurrence per key (the 'index only on count==1' rule)."""
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type",
+                F.col("event_id").alias("first_event_id"),
+                F.col("ts").alias("first_ts"))
+    )
+
+
+SQL_FIRST_OCCURRENCE = """
+SELECT user_id, event_type, event_id AS first_event_id, ts AS first_ts
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def q_site_status_rollup(spark, sf_dir):
+    """J6+A3 — 3-way left join + multi-distinct agg (the /api/status shape).
+
+    Scale: nation is broadcast (dim); the c⟕o join shuffles on custkey with
+    AQE handling skew; countDistinct is planned as expand+partial aggs.
+    """
+    nation = _t(spark, sf_dir, "nation")
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey, "left")
+        .join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("n_name")
+        .agg(
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.countDistinct(
+                F.when(F.col("o_totalprice") > 150000, F.col("o_orderkey"))
+            ).alias("n_big_orders"),
+        )
+    )
+
+
+SQL_SITE_STATUS = """
+SELECT n_name,
+       count(DISTINCT c_custkey) AS n_customers,
+       count(DISTINCT o_orderkey) AS n_orders,
+       count(DISTINCT CASE WHEN o_totalprice > 150000 THEN o_orderkey END) AS n_big_orders
+FROM customer
+LEFT JOIN nation ON c_nationkey = n_nationkey
+LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY n_name
+"""
+
+
+def q_due_schedule(spark, sf_dir):
+    """F5 — re-crawl due filter: timestamp + interval <= cutoff."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.filter(
+            F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+            <= F.lit("1996-01-01").cast("timestamp")
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_due"))
+    )
+
+
+SQL_DUE = """
+SELECT o_orderpriority, count(*) AS n_due
+FROM orders
+WHERE o_orderdate + INTERVAL 30 DAY <= TIMESTAMP '1996-01-01'
+GROUP BY o_orderpriority
+"""
+
+
+def q_priority_topk(spark, sf_dir):
+    """O2 — global top-k with deterministic tiebreak (TakeOrderedAndProject)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(50)
+    )
+
+
+SQL_PRIORITY_TOPK = """
+SELECT o_orderkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 50
+"""
+
+
+def q_per_host_budget(spark, sf_dir):
+    """O6 — politeness-budget window: top-5 rows per key, rank exposed."""
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("user_id", "event_id", "rnk")
+    )
+
+
+SQL_PER_HOST_BUDGET = """
+SELECT user_id, event_id, rnk FROM (
+  SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rnk
+  FROM events
+) WHERE rnk <= 5
+"""
+
+
+def q_crawl_order(spark, sf_dir):
+    """O1 — FIFO drain order: (ts, id) ascending, first 100."""
+    events = _t(spark, sf_dir, "events")
+    return events.orderBy("ts", "event_id").select("event_id", "ts").limit(100)
+
+
+SQL_CRAWL_ORDER = "SELECT event_id, ts FROM events ORDER BY ts, event_id LIMIT 100"
+
+
+# =====================================================================
+# scalar-function operators (SURVEY.md §2.7)
+# =====================================================================
+
+def q_canonical_urls(spark, sf_dir):
+    """C1 — URL normalization as pure JVM regexp chain."""
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(F.lit("https://www."), F.col("source"), F.lit(".example.com/path/"))
+    return docs.select("doc_id", normalize_site_url_expr(url).alias("site"))
+
+
+SQL_CANONICAL = """
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(
+         'https://www.' || source || '.example.com/path/',
+         '^https?://', ''), '^www\\.', ''), '/+$', '') AS site
+FROM documents
+"""
+
+
+def q_doc_keys(spark, sf_dir):
+    """C3 — sha256(url)[:32] vector-index keys (built-in, JVM-side)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.substring(F.sha2(F.col("text"), 256), 1, 32).alias("doc_key")
+    )
+
+
+SQL_DOC_KEYS = "SELECT doc_id, substr(sha256(text), 1, 32) AS doc_key FROM documents"
+
+
+def q_json_extract(spark, sf_dir):
+    """C4-shaped — JSON field extraction + aggregation (no Python)."""
+    events = _t(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("int")).alias("sum_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+SQL_JSON_EXTRACT = """
+SELECT event_type,
+       sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+       count(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+# =====================================================================
+# analytics headliners (scan/join/agg at scale; bench queries)
+# =====================================================================
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: the wide-scan partial-agg headliner.
+
+    Money emitted as integer cents (see module docstring); quantities are
+    integral doubles so their sums are exact.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+            F.sum(_cents(F.col("l_extendedprice"))).alias("sum_base_cents"),
+            F.sum(_cents(disc)).alias("sum_disc_cents"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+       sum({_CENTS_SQL.format(expr="l_extendedprice")}) AS sum_base_cents,
+       sum({_CENTS_SQL.format(expr="l_extendedprice * (1.0 - l_discount)")}) AS sum_disc_cents,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: selective join pipeline + grouped top-k."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp"))
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp"))
+    disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(_cents(disc)).alias("revenue_cents"))
+        .orderBy(F.desc("revenue_cents"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_SHIPPING = f"""
+SELECT l_orderkey, o_orderdate,
+       sum({_CENTS_SQL.format(expr="l_extendedprice * (1.0 - l_discount)")}) AS revenue_cents
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue_cents DESC, l_orderkey LIMIT 10
+"""
+
+
+def q_region_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: star join with every dim broadcast (zero dim shuffles)."""
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(_cents(disc)).alias("revenue_cents"))
+    )
+
+
+SQL_REGION_REVENUE = f"""
+SELECT r_name, n_name,
+       sum({_CENTS_SQL.format(expr="l_extendedprice * (1.0 - l_discount)")}) AS revenue_cents
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def q_windowed_events(spark, sf_dir):
+    """Tumbling-window aggregation (batch twin of the streaming path)."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_cents(F.col("value"))).alias("sum_value_cents"),
+        )
+    )
+
+
+SQL_WINDOWED = f"""
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events,
+       sum({_CENTS_SQL.format(expr="value")}) AS sum_value_cents
+FROM events GROUP BY 1, 2
+"""
+
+
+# =====================================================================
+# training-data pipeline: deduplication
+# (doubled corpus: every text planted with one exact / near duplicate so
+#  the dedup operators have real positives to find at any sf)
+# =====================================================================
+
+_NEARDUP_PAD = " zq xv near duplicate pad tail"
+
+
+def _doubled_exact(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.unionByName(
+        docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+
+
+def _doubled_near(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.unionByName(
+        docs.select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(_NEARDUP_PAD)).alias("text"),
+        )
+    )
+
+
+_SQL_DOUBLED_EXACT = """
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents
+"""
+
+_SQL_DOUBLED_NEAR = f"""
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 100000 AS doc_id, text || '{_NEARDUP_PAD}' AS text
+  FROM documents
+"""
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: md5 fingerprint groupBy — one shuffle, map-side combine."""
+    base = _doubled_exact(spark, sf_dir)
+    return (
+        base.groupBy(F.md5("text").alias("fingerprint"))
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("canonical_doc_id"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+SQL_DEDUP_EXACT = f"""
+WITH base AS ({_SQL_DOUBLED_EXACT})
+SELECT md5(text) AS fingerprint, count(*) AS n_copies, min(doc_id) AS canonical_doc_id
+FROM base GROUP BY 1 HAVING count(*) > 1
+"""
+
+# ---- MinHash + LSH --------------------------------------------------
+
+_MINHASH_K = 6
+_BANDS = 3  # 2 rows per band
+
+_SHINGLES_SPARK = (
+    "case when size(ts) >= 3 then "
+    "transform(sequence(1, size(ts) - 2), i -> concat(ts[i-1], ' ', ts[i], ' ', ts[i+1])) "
+    "else array(concat_ws(' ', ts)) end"
+)
+_SHINGLES_DUCK = (
+    "CASE WHEN len(ts) >= 3 THEN "
+    "list_transform(generate_series(1, len(ts) - 2), i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) "
+    "ELSE [array_to_string(ts, ' ')] END"
+)
+
+
+def _minhash_cols():
+    return [
+        F.expr(f"array_min(transform(shingles, s -> md5(concat('{k}|', s))))").alias(f"mh{k}")
+        for k in range(_MINHASH_K)
+    ]
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(6) + LSH(3 bands × 2) candidate pairs over word 3-gram shingles.
+
+    All hashing is md5-on-strings so the oracle reproduces it bit-for-bit.
+    Scale shape: signatures are computed scan-side with zero shuffles
+    (higher-order array fns in whole-stage codegen); the only shuffle is the
+    band-bucket self-join, whose build side is band values — at 10^10 docs
+    the band join is the classic shuffle and AQE splits skewed buckets.
+    """
+    base = _doubled_near(spark, sf_dir)
+    sig = (
+        base.withColumn("ts", F.split("text", " "))
+        .withColumn("shingles", F.expr(_SHINGLES_SPARK))
+        .select("doc_id", *_minhash_cols())
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_idx"),
+                    F.md5(F.concat(F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}"))).alias("band_val"),
+                )
+                for b in range(_BANDS)
+            ])
+        ).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.band_val")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+               & (F.col("a.band_val") == F.col("b.band_val"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+
+
+_MH_DUCK = ", ".join(
+    f"list_min(list_transform(shingles, s -> md5('{k}|' || s))) AS mh{k}"
+    for k in range(_MINHASH_K)
+)
+_BANDS_DUCK = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_idx, md5(mh{2*b} || mh{2*b+1}) AS band_val FROM mh"
+    for b in range(_BANDS)
+)
+
+SQL_DEDUP_MINHASH = f"""
+WITH base AS ({_SQL_DOUBLED_NEAR}),
+tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM base),
+sh AS (SELECT doc_id, {_SHINGLES_DUCK} AS shingles FROM tok),
+mh AS (SELECT doc_id, {_MH_DUCK} FROM sh),
+bands AS ({_BANDS_DUCK})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
+FROM bands a JOIN bands b
+  ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+# ---- SimHash ---------------------------------------------------------
+
+_TOKEN_HASH_SPARK = "cast(conv(substr(md5(token), 1, 8), 16, 10) AS BIGINT)"
+_TOKEN_HASH_DUCK = "('0x' || substr(md5(token), 1, 8))::BIGINT"
+
+
+def _simhash_df(spark, sf_dir, base: DataFrame) -> DataFrame:
+    """32-bit SimHash per doc: per-token md5→int, per-bit ±1 votes, sign bit.
+
+    Pure relational (explode + two hash aggs) so both engines agree exactly;
+    at scale the token explosion stays partition-local until the groupBy.
+    """
+    toks = base.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    hashed = toks.select("doc_id", F.expr(_TOKEN_HASH_SPARK).alias("hv"))
+    bits = hashed.select(
+        "doc_id", "hv", F.explode(F.expr("sequence(0, 31)")).alias("b")
+    )
+    votes = bits.groupBy("doc_id", "b").agg(
+        F.sum(
+            F.when(F.expr("(hv >> b) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))
+        ).alias("vote")
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("vote") > 0, F.expr("cast(1 as bigint) << b")).otherwise(F.lit(0))
+        ).alias("simhash")
+    )
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return _simhash_df(spark, sf_dir, _t(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
+_SIMHASH_DUCK_BODY = f"""
+tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM base),
+h AS (SELECT doc_id, {_TOKEN_HASH_DUCK} AS hv FROM tok),
+bits AS (SELECT doc_id, hv, unnest(generate_series(0, 31)) AS b FROM h),
+votes AS (SELECT doc_id, b,
+                 sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+          FROM bits GROUP BY 1, 2),
+sh AS (SELECT doc_id,
+              sum(CASE WHEN vote > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+       FROM votes GROUP BY 1)
+"""
+
+SQL_DEDUP_SIMHASH = f"""
+WITH base AS (SELECT doc_id, text FROM documents),
+{_SIMHASH_DUCK_BODY}
+SELECT doc_id, simhash FROM sh
+"""
+
+
+def q_dedup_simhash_pairs(spark, sf_dir):
+    """Near-dup pairs: hamming(simhash) <= 3 over the planted-near-dup corpus."""
+    sh = _simhash_df(spark, sf_dir, _doubled_near(spark, sf_dir))
+    a, b = sh.alias("a"), sh.alias("b")
+    ham = F.bit_count(F.expr("a.simhash ^ b.simhash"))
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(ham <= 3)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.cast("int").alias("hamming"),
+        )
+    )
+
+
+SQL_SIMHASH_PAIRS = f"""
+WITH base AS ({_SQL_DOUBLED_NEAR}),
+{_SIMHASH_DUCK_BODY}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """n-gram Jaccard near-dup pairs — integer set sizes only (exact).
+
+    Shape: distinct (doc, shingle) explode → self-join on shingle →
+    per-pair intersection counts joined with per-doc sizes. The shingle join
+    is the scale hazard: common shingles fan out quadratically, so the plan
+    drops shingles seen in > 100 docs (stop-shingle cut, standard trick).
+    """
+    base = _doubled_near(spark, sf_dir)
+    sh = (
+        base.withColumn("ts", F.split("text", " "))
+        .withColumn("shingles", F.expr(_SHINGLES_SPARK))
+        .select("doc_id", F.explode(F.array_distinct("shingles")).alias("s"))
+    )
+    rare = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") <= 100)
+    sh = sh.join(rare.select("s"), "s", "left_semi")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter_sz"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .filter(F.col("inter_sz") * 10 >= (F.col("sz_a") + F.col("sz_b") - F.col("inter_sz")) * 8)
+        .select("doc_a", "doc_b", "inter_sz", "sz_a", "sz_b")
+    )
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH base AS ({_SQL_DOUBLED_NEAR}),
+tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM base),
+shl AS (SELECT doc_id, {_SHINGLES_DUCK} AS shingles FROM tok),
+sh0 AS (SELECT DISTINCT doc_id, unnest(shingles) AS s FROM shl),
+rare AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 100),
+sh AS (SELECT sh0.* FROM sh0 JOIN rare USING (s)),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter_sz
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, inter_sz, sa.sz AS sz_a, sb.sz AS sz_b
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE inter_sz * 10 >= (sa.sz + sb.sz - inter_sz) * 8
+"""
+
+
+# =====================================================================
+# similarity search over embeddings
+# =====================================================================
+
+def q_ann_topk(spark, sf_dir):
+    """Brute-force cosine top-5 per query vector (rank-only output).
+
+    Queries = vec_id < 10 (broadcast), candidates = the rest. Dot products
+    run as JVM higher-order fns over double-cast arrays; ranks are emitted
+    without the float score so the comparison is precision-proof.
+    At 10^10 scale the same plan shape holds with the IVF variant
+    (crawler_spark.operators.similarity) pre-bucketing candidates.
+    """
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "vd", F.expr("transform(embedding, x -> cast(x AS double))"))
+    norm = F.sqrt(F.expr("aggregate(vd, 0D, (acc, x) -> acc + x * x)"))
+    emb = emb.withColumn("nrm", norm)
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("vd").alias("qv"), F.col("nrm").alias("qn"))
+    c = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("vd").alias("cv"), F.col("nrm").alias("cn"))
+    dot = F.expr("aggregate(zip_with(qv, cv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+    scored = F.broadcast(q).join(c).withColumn("cosine", dot / (F.col("qn") * F.col("cn")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "rank", "neighbor_id")
+    )
+
+
+SQL_ANN_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id >= 10),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_cosine_similarity(qv, cv) AS cosine
+  FROM q CROSS JOIN c
+)
+SELECT query_id, rank, neighbor_id FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+def q_embedding_centroids(spark, sf_dir):
+    """Per-label centroid norms as integer micro-units — grouped vector agg."""
+    emb = _t(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode(F.expr("transform(embedding, x -> cast(x AS double))"))
+    ).withColumnRenamed("pos", "dim").withColumnRenamed("col", "x")
+    return (
+        exploded.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_values"),
+            F.floor(F.sum(F.col("x") * F.col("x")) * 1000.0 + F.lit(0.5)).cast("long")
+            .alias("sumsq_milli"),
+        )
+    )
+
+
+SQL_CENTROIDS = """
+WITH exploded AS (
+  SELECT label, unnest(embedding::DOUBLE[]) AS x FROM embeddings
+)
+SELECT label, count(*) AS n_values,
+       CAST(FLOOR(sum(x * x) * 1000.0 + 0.5) AS BIGINT) AS sumsq_milli
+FROM exploded GROUP BY label
+"""
+
+
+# =====================================================================
+# text analysis
+# =====================================================================
+
+_STOPWORDS = ("a", "the", "and", "of")
+
+
+def q_text_quality(spark, sf_dir):
+    """Quality scoring: token/uniq/stopword counts + integral quality flag."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.withColumn("ts", F.split("text", " "))
+    stop_pred = " OR ".join(f"t = '{s}'" for s in _STOPWORDS)
+    return d.select(
+        "doc_id",
+        F.size("ts").alias("n_tokens"),
+        F.size(F.array_distinct("ts")).alias("n_uniq_tokens"),
+        F.expr(f"size(filter(ts, t -> {stop_pred}))").alias("n_stopwords"),
+        (
+            (F.size("ts") >= 20)
+            & (F.size("ts") <= 1000)
+            & (F.expr(f"size(filter(ts, t -> {stop_pred}))") * 4 <= F.size("ts"))
+        ).cast("int").alias("quality_flag"),
+    )
+
+
+_STOP_DUCK = " OR ".join(f"t = '{s}'" for s in _STOPWORDS)
+
+SQL_TEXT_QUALITY = f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+SELECT doc_id,
+       len(ts) AS n_tokens,
+       len(list_distinct(ts)) AS n_uniq_tokens,
+       len(list_filter(ts, t -> {_STOP_DUCK})) AS n_stopwords,
+       CAST(len(ts) >= 20 AND len(ts) <= 1000
+            AND len(list_filter(ts, t -> {_STOP_DUCK})) * 4 <= len(ts) AS INTEGER)
+         AS quality_flag
+FROM d
+"""
+
+
+def q_token_stats(spark, sf_dir):
+    """Token counting two ways (whitespace + BPE-ish regex), rolled up by lang."""
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.size(F.split("text", " "))
+    bpe = F.size(F.expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+    return (
+        docs.select("lang", ws.alias("ws_tokens"), bpe.alias("re_tokens"), "n_chars")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws_tokens").alias("sum_ws_tokens"),
+            F.sum("re_tokens").alias("sum_re_tokens"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
+SQL_TOKEN_STATS = """
+SELECT lang, count(*) AS n_docs,
+       sum(len(string_split(text, ' '))) AS sum_ws_tokens,
+       sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS sum_re_tokens,
+       sum(n_chars) AS sum_chars
+FROM documents GROUP BY lang
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    """Marker-token language heuristic (deterministic CASE over counts)."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.withColumn("ts", F.split("text", " "))
+
+    def cnt(word):
+        return F.expr(f"size(filter(ts, t -> t = '{word}'))")
+
+    pred = (
+        F.when(cnt("the") + cnt("a") >= 2, F.lit("en"))
+        .when(cnt("le") + cnt("la") >= 2, F.lit("fr"))
+        .when(cnt("der") + cnt("die") >= 2, F.lit("de"))
+        .otherwise(F.lit("und"))
+    )
+    return d.select("doc_id", pred.alias("lang_pred"), "lang")
+
+
+SQL_LANG_ID = """
+WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS ts FROM documents)
+SELECT doc_id,
+       CASE
+         WHEN len(list_filter(ts, t -> t = 'the')) + len(list_filter(ts, t -> t = 'a')) >= 2 THEN 'en'
+         WHEN len(list_filter(ts, t -> t = 'le')) + len(list_filter(ts, t -> t = 'la')) >= 2 THEN 'fr'
+         WHEN len(list_filter(ts, t -> t = 'der')) + len(list_filter(ts, t -> t = 'die')) >= 2 THEN 'de'
+         ELSE 'und'
+       END AS lang_pred,
+       lang
+FROM d
+"""
+
+
+def q_top_tokens(spark, sf_dir):
+    """Global token frequency top-20 (explode → agg → top-k)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )
+
+
+SQL_TOP_TOKENS = """
+SELECT token, count(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+GROUP BY token ORDER BY n DESC, token LIMIT 20
+"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Document fingerprinting: md5 of whitespace-normalized lowercase text."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
+    return docs.select("doc_id", F.md5(norm).alias("fingerprint"))
+
+
+SQL_DOC_FINGERPRINT = r"""
+SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+
+# =====================================================================
+# registry
+# =====================================================================
+
+CATALOG: dict[str, tuple[Query, str | None]] = {
+    # crawl-shaped operators
+    "frontier_new_urls": (q_frontier_new_urls, SQL_FRONTIER_NEW),
+    "frontier_removed_urls": (q_frontier_removed_urls, SQL_FRONTIER_REMOVED),
+    "frontier_guard_semi": (q_frontier_guard_semi, SQL_GUARD_SEMI),
+    "url_seen_refcount": (q_url_seen_refcount, SQL_REFCOUNT),
+    "first_occurrence_gate": (q_first_occurrence, SQL_FIRST_OCCURRENCE),
+    "site_status_rollup": (q_site_status_rollup, SQL_SITE_STATUS),
+    "due_schedule_filter": (q_due_schedule, SQL_DUE),
+    "priority_topk": (q_priority_topk, SQL_PRIORITY_TOPK),
+    "per_host_budget": (q_per_host_budget, SQL_PER_HOST_BUDGET),
+    "crawl_order_fifo": (q_crawl_order, SQL_CRAWL_ORDER),
+    # scalar functions
+    "canonical_urls": (q_canonical_urls, SQL_CANONICAL),
+    "doc_keys_sha256": (q_doc_keys, SQL_DOC_KEYS),
+    "json_extract_agg": (q_json_extract, SQL_JSON_EXTRACT),
+    # analytics headliners
+    "pricing_summary": (q_pricing_summary, SQL_PRICING),
+    "shipping_priority": (q_shipping_priority, SQL_SHIPPING),
+    "region_revenue": (q_region_revenue, SQL_REGION_REVENUE),
+    "windowed_events": (q_windowed_events, SQL_WINDOWED),
+    # dedup family
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH),
+    "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
+    "dedup_simhash_pairs": (q_dedup_simhash_pairs, SQL_SIMHASH_PAIRS),
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_NGRAM_JACCARD),
+    # similarity search
+    "ann_cosine_topk": (q_ann_topk, SQL_ANN_TOPK),
+    "embedding_centroids": (q_embedding_centroids, SQL_CENTROIDS),
+    # text analysis
+    "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+    "token_stats": (q_token_stats, SQL_TOKEN_STATS),
+    "lang_id": (q_lang_id, SQL_LANG_ID),
+    "top_tokens": (q_top_tokens, SQL_TOP_TOKENS),
+    "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+}
+
+
+def queries() -> dict[str, Query]:
+    return {name: fn for name, (fn, _) in CATALOG.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in CATALOG.items() if sql is not None}

@@ -102,6 +102,21 @@ class SnapshotStore:
         writer.parquet(str(target))
         return version
 
+    # -- append-only tables (logs / lineage) --------------------------------
+
+    def append(self, df: DataFrame, name: str, label: str) -> None:
+        """Append a labeled part to an append-only table (e.g. per-epoch
+        metrics). Parts are immutable; the union happens at read time —
+        O(1) write per epoch instead of cumulative rewrites."""
+        df.write.mode("overwrite").parquet(str(self.root / name / f"a{label}"))
+
+    def read_appended(self, spark: SparkSession, name: str) -> DataFrame:
+        return spark.read.parquet(str(self.root / name / "a*"))
+
+    def has_appended(self, name: str) -> bool:
+        table_root = self.root / name
+        return table_root.exists() and any(table_root.glob("a*"))
+
     def vacuum(self, keep_last: int = 2) -> None:
         """Drop snapshot directories older than the last ``keep_last`` per table."""
         manifest = self.read_manifest()

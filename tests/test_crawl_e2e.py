@@ -157,7 +157,7 @@ def test_politeness_budget_and_order(spark, tmp_path):
     assert len(fetch_epochs) == 4
 
     # crawl order = (epoch, queued_at, file_url): chunk files in url order
-    metrics = engine.store.read(spark, "metrics")
+    metrics = engine.store.read_appended(spark, "metrics")
     ordered = [
         r["url"] for r in metrics.filter(F.col("status_code") == 200)
         .orderBy("epoch", "ts", "url").collect()
