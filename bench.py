@@ -32,6 +32,22 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+
+def bench_tmp_root() -> str | None:
+    """Fast scratch root for bench state (corpus, snapshots, shuffle).
+
+    The crawl writes ~10 GB per run; on this single-VM sandbox the virtual
+    disk's async writeback bleeds into subsequent timings (load-average
+    spikes with no runnable processes). A real cluster writes state to
+    distributed storage whose bandwidth scales with executors, so the bench
+    uses tmpfs when present to measure the engine, not the sandbox disk.
+    Override with SPARK_GRAFT_TMP; set it to e.g. /tmp to force disk.
+    """
+    env = os.environ.get("SPARK_GRAFT_TMP")
+    if env:
+        return env
+    return "/dev/shm" if os.path.isdir("/dev/shm") else None
+
 #: headline catalog queries (names from crawler_spark.plans.queries.CATALOG);
 #: chosen to cover scan-agg, shuffle joins, windows, dedup, ANN and text ops.
 BENCH_QUERIES = [
@@ -83,12 +99,16 @@ def run_crawl_bench(spark, sf_tag: str, cores: int) -> dict:
     from crawler_spark.sources.synth import corpus_pages_df, seeds_df
     from crawler_spark.sources.tables import SnapshotStore
 
-    n_sites, chunks, items, hot = _CRAWL_SCALE.get(sf_tag, _CRAWL_SCALE["sf0.1"])
+    scale_env = os.environ.get("SPARK_GRAFT_CRAWL_SCALE")
+    if scale_env:  # "sites,chunks,items,hot" override (used by BENCH/scaling.py)
+        n_sites, chunks, items, hot = (int(x) for x in scale_env.split(","))
+    else:
+        n_sites, chunks, items, hot = _CRAWL_SCALE.get(sf_tag, _CRAWL_SCALE["sf0.1"])
     pages = corpus_pages_df(
         spark, n_sites, chunks, items_per_chunk=items, hot_site_chunks=hot
     )
     # materialize the corpus once so generation cost is not billed to the crawl
-    tmp = tempfile.mkdtemp(prefix="crawl_bench_")
+    tmp = tempfile.mkdtemp(prefix="crawl_bench_", dir=bench_tmp_root())
     corpus_path = f"{tmp}/pages"
     pages.write.mode("overwrite").parquet(corpus_path)
     pages = spark.read.parquet(corpus_path)
@@ -126,7 +146,22 @@ def main() -> None:
     from crawler_spark.session import build_session
 
     sf_tag = _sf_tag(SF_DIR)
-    spark = build_session(app_name="crawler_spark_bench", cores=CPUS)
+
+    local_dir = tempfile.mkdtemp(prefix="spark_local_", dir=bench_tmp_root())
+    conf = {"spark.local.dir": local_dir}  # shuffle on fast scratch too
+
+    if "--crawl-only" in sys.argv:
+        # subprocess mode for the N-vs-4N scaling evidence (BENCH/scaling.py):
+        # fresh JVM per parallelism level, crawl throughput only
+        spark = build_session(app_name="crawler_spark_scaling", cores=CPUS, extra_conf=conf)
+        spark.sparkContext.setLogLevel("ERROR")
+        crawl = run_crawl_bench(spark, sf_tag, CPUS)
+        spark.stop()
+        shutil.rmtree(local_dir, ignore_errors=True)
+        print(json.dumps({"crawl": crawl, "cpus": CPUS, "sf": sf_tag}))
+        return
+
+    spark = build_session(app_name="crawler_spark_bench", cores=CPUS, extra_conf=conf)
     spark.sparkContext.setLogLevel("ERROR")
 
     timings = run_queries(spark, SF_DIR)
@@ -143,6 +178,7 @@ def main() -> None:
         "crawl": crawl,
     }
     spark.stop()
+    shutil.rmtree(local_dir, ignore_errors=True)
     print(json.dumps(result))
 
 

@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from crawler_spark.functions.canonical import doc_key_expr, host_from_url_expr, host_hash_expr
-from crawler_spark.functions.embed import embed_udf
+from crawler_spark.functions.embed import embed_binary_udf
 from crawler_spark.functions.extract import EXTRACTED_SCHEMA, explode_jsonld
 from crawler_spark.functions.sitemap import (
     parse_sitemap_udf,
@@ -208,8 +208,10 @@ class CrawlEngine:
         # a file can reappear later: drop superseded removal jobs for re-added files
         updated = updated.unionByName(new_rows).unionByName(removal_jobs)
 
-        n_added = new_rows.count()
-        n_removed = removal_jobs.count()
+        # counting costs two extra jobs; bench (collect_stats=False) derives
+        # totals from committed state instead
+        n_added = new_rows.count() if self.cfg.collect_stats else -1
+        n_removed = removal_jobs.count() if self.cfg.collect_stats else -1
         v = self.store.write(updated.repartition(self.cfg.num_partitions, "host_hash"), "frontier")
 
         # stamp last_processed on discovered seeds (scheduler.py:21-30 analogue)
@@ -273,26 +275,33 @@ class CrawlEngine:
         ok = fetched.filter(F.col("html").isNotNull())
         failed = fetched.filter(F.col("html").isNull()).select("file_url", "user_id")
 
-        # --- extract (C4/C6): one Arrow pass body → object rows ---
+        # --- extract (C4/C6): ONE Arrow pass body → object rows, then
+        # materialized to scratch parquet. Several sinks (url_seen, documents,
+        # frontier, metrics) all derive from the extract output; pinning it
+        # once guarantees the Python stage runs exactly once per epoch
+        # regardless of how many downstream DAGs reference it.
         extracted_raw = (
             ok.select("file_url", F.col("html").alias("body"))
             .mapInPandas(explode_jsonld, schema=EXTRACTED_SCHEMA)
             .withColumn("partition_id", F.spark_partition_id())
         )
-        meta = ok.select("file_url", "user_id", "site_url", "queued_at")
-        extracted = (
-            extracted_raw.filter(F.col("id").isNotNull())
-            .join(meta, "file_url")
-            .dropDuplicates(["file_url", "user_id", "id"])  # U1 set(ids)
+        meta = ok.select("file_url", "user_id", "site_url", "queued_at", "content_length")
+        scratch = self.store.materialize(
+            self.spark,
+            extracted_raw.join(meta, "file_url")
+            .dropDuplicates(["file_url", "user_id", "id"]),  # U1 set(ids)
+            "extracted_epoch",
         )
-        extracted.cache()
+        extracted = scratch.filter(F.col("id").isNotNull())
         if cfg.collect_stats:
             rep.ids_extracted = extracted.count()
 
         # fetch accounting for metrics (A6): bytes + ids per url
-        per_file = (
-            extracted_raw.groupBy("file_url")
-            .agg(F.max("num_ids").alias("num_ids"), F.first("partition_id").alias("partition_id"))
+        # (null-id marker rows keep zero-object files in the accounting)
+        per_file = scratch.groupBy("file_url", "user_id").agg(
+            F.max("num_ids").alias("num_ids"),
+            F.first("partition_id").alias("partition_id"),
+            F.max("content_length").alias("content_length"),
         )
 
         # --- seen-set maintenance (J3/J4 + A1), incl. removed-file wipes ---
@@ -336,6 +345,11 @@ class CrawlEngine:
                 )
                 # F3: BreadcrumbList objects are never indexed (worker.py:221-226)
                 .filter(~F.col("types").contains("BreadcrumbList"))
+                # explicit parallelism for the embed stage: AQE coalesces the
+                # join output by its ~1 KB/row size, but the embed expands each
+                # row by a 6 KB vector — without this repartition the most
+                # expensive stage of the pipeline runs in a handful of tasks
+                .repartition(cfg.num_partitions * 2)
                 .select(
                     doc_key_expr(F.col("id")).alias("id"),
                     F.col("id").alias("url"),
@@ -344,7 +358,7 @@ class CrawlEngine:
                     F.col("obj_json").alias("content"),
                     F.col("essential_text"),
                     F.lit(fr.epoch_ts(epoch)).alias("timestamp"),
-                    embed_udf(F.col("essential_text")).alias("embedding"),
+                    embed_binary_udf(F.col("essential_text")).alias("embedding"),
                 )
             )
             surviving = docs.join(
@@ -356,11 +370,13 @@ class CrawlEngine:
             new_docs = None
 
         # --- frontier transitions + metrics ---
+        # per_file covers every fetched-ok file (zero-object files included
+        # via the extract kernel's marker rows), so `done` reads straight off
+        # the materialized scratch — no second pass over the fetch join.
         done = (
-            ok.select("file_url", "user_id")
-            .join(per_file.select("file_url", F.col("num_ids").alias("number_of_items")),
-                  "file_url", "left")
-            .fillna({"number_of_items": 0})
+            per_file.select(
+                "file_url", "user_id",
+                F.col("num_ids").cast("int").alias("number_of_items"))
             .withColumn("job_type", F.lit("process_file"))
         )
         frontier_after = fr.transition(
@@ -373,9 +389,7 @@ class CrawlEngine:
         )
 
         metrics = (
-            ok.select("file_url", "content_length")
-            .join(per_file, "file_url", "left")
-            .select(
+            per_file.select(
                 F.lit(epoch).alias("epoch"),
                 F.col("partition_id"),
                 F.col("file_url").alias("url"),
@@ -426,7 +440,7 @@ class CrawlEngine:
             "ids_added": rep.ids_added, "ids_removed": rep.ids_removed,
         })
 
-        for df in (selected, fetched, extracted, added, removed):
+        for df in (selected, fetched, added, removed):
             df.unpersist()
         rep.wall_s = _time.time() - t0
         return rep

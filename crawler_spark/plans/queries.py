@@ -723,6 +723,105 @@ SELECT query_id, rank, neighbor_id FROM (
 """
 
 
+def q_dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs over a planted-duplicate corpus.
+
+    Every vector is replanted under vec_id+100000, so each base/copy pair has
+    cosine exactly 1.0 while the sf0.01 corpus' max organic pairwise cosine is
+    0.513 — the 0.95 threshold is precision-proof across engines. Output is
+    integer ids only. Scale shape: the pairwise stage is the same
+    bucket-join as `ann_ivf_bucketed`; here the threshold filter makes the
+    all-pairs join acceptable at test sf, while the 10^10 path pre-buckets
+    (crawler_spark.operators.similarity.lsh_topk).
+    """
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = emb.unionByName(
+        emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding"))
+    v = base.withColumn("vd", F.expr("transform(embedding, x -> cast(x AS double))"))
+    v = v.withColumn(
+        "nrm", F.sqrt(F.expr("aggregate(vd, 0D, (acc, x) -> acc + x * x)")))
+    a = v.select(F.col("vec_id").alias("vec_a"), F.col("vd").alias("va"), F.col("nrm").alias("na"))
+    b = v.select(F.col("vec_id").alias("vec_b"), F.col("vd").alias("vb"), F.col("nrm").alias("nb"))
+    dot = F.expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", dot / (F.col("na") * F.col("nb")))
+        .filter(F.col("cosine") >= 0.95)
+        .select("vec_a", "vec_b")
+    )
+
+
+SQL_DEDUP_EMB_COSINE = """
+WITH base AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings
+),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS vd FROM base)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.vd, b.vd) >= 0.95
+"""
+
+
+def q_ann_ivf_bucketed(spark, sf_dir):
+    """IVF/LSH-bucketed ANN: the 10^10-scale path of `ann_cosine_topk`.
+
+    Buckets = 4-bit sign code over the first four dimensions (float sign is
+    exact in both engines). Candidates shuffle once on bucket; each query
+    probes only its own bucket, so the pairwise stage touches ~1/16 of the
+    corpus — the same plan shape as operators/similarity.lsh_topk with
+    seeded random hyperplanes. Output is rank-only (no float column).
+    """
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "vd", F.expr("transform(embedding, x -> cast(x AS double))"))
+    bucket = (
+        (F.col("vd")[0] > 0).cast("int")
+        + (F.col("vd")[1] > 0).cast("int") * 2
+        + (F.col("vd")[2] > 0).cast("int") * 4
+        + (F.col("vd")[3] > 0).cast("int") * 8
+    )
+    norm = F.sqrt(F.expr("aggregate(vd, 0D, (acc, x) -> acc + x * x)"))
+    v = emb.withColumn("bucket", bucket).withColumn("nrm", norm)
+    q = v.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("vd").alias("qv"),
+        F.col("nrm").alias("qn"), "bucket")
+    c = v.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("vd").alias("cv"),
+        F.col("nrm").alias("cn"), "bucket")
+    dot = F.expr("aggregate(zip_with(qv, cv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+    scored = F.broadcast(q).join(c, "bucket").withColumn(
+        "cosine", dot / (F.col("qn") * F.col("cn")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "rank", "neighbor_id")
+    )
+
+
+SQL_ANN_IVF = """
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vd,
+         CAST(embedding[1] > 0 AS INTEGER)
+         + 2 * CAST(embedding[2] > 0 AS INTEGER)
+         + 4 * CAST(embedding[3] > 0 AS INTEGER)
+         + 8 * CAST(embedding[4] > 0 AS INTEGER) AS bucket
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, vd AS qv, bucket FROM v WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, vd AS cv, bucket FROM v WHERE vec_id >= 10),
+scored AS (
+  SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS cosine
+  FROM q JOIN c USING (bucket)
+)
+SELECT query_id, rank, neighbor_id FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
 def q_embedding_centroids(spark, sf_dir):
     """Per-label centroid norms as integer micro-units — grouped vector agg."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -878,6 +977,118 @@ FROM documents
 """
 
 
+def q_multimodal_image_meta(spark, sf_dir):
+    """Multimodal plumbing end-to-end: synthesize a stub image per document
+    (binary column), run the real Arrow-batched decode kernel
+    (operators/multimodal.decode_image_features), emit the deterministic
+    metadata. The oracle recomputes width/height/n_bytes arithmetically —
+    an independent check that the encode→binary→mapInPandas-decode path
+    preserves every byte it claims to.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark import cloudpickle
+
+    from crawler_spark.operators import multimodal
+    from crawler_spark.operators.multimodal import decode_image_features, encode_stub_image
+
+    # ship the kernel code by value so executors don't need crawler_spark
+    # importable (the driver contract may run from any cwd)
+    cloudpickle.register_pickle_by_value(multimodal)
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("key"),
+        (F.col("doc_id") % 16 + 8).cast("int").alias("w"),
+        (F.col("doc_id") % 8 + 8).cast("int").alias("h"),
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf["image"] = [
+                encode_stub_image(k, int(w), int(h))
+                for k, w, h in zip(pdf["key"], pdf["w"], pdf["h"])
+            ]
+            yield pdf[["key", "image"]]
+
+    images = docs.mapInPandas(encode, schema="key string, image binary")
+    feats = decode_image_features(images)
+    return feats.select(
+        F.col("key").cast("long").alias("doc_id"),
+        "width", "height",
+        F.col("n_bytes").alias("n_bytes"),
+        F.col("valid").cast("int").alias("valid"),
+    )
+
+
+SQL_MULTIMODAL_META = """
+SELECT doc_id,
+       CAST(doc_id % 16 + 8 AS INTEGER) AS width,
+       CAST(doc_id % 8 + 8 AS INTEGER) AS height,
+       CAST(12 + (doc_id % 16 + 8) * (doc_id % 8 + 8) AS BIGINT) AS n_bytes,
+       1 AS valid
+FROM documents
+"""
+
+
+def q_union_distinct(spark, sf_dir):
+    """U2/U4 — union of two key projections + distinct (one shuffle).
+
+    Reference: master.py:230 (`set(schema_map …)`), master.py:89-99
+    (extend across sitemaps then dedup)."""
+    cust = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cust.unionByName(supp).distinct()
+
+
+SQL_UNION_DISTINCT = """
+SELECT c_nationkey AS nationkey FROM customer
+UNION
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+def q_log_tail(spark, sf_dir):
+    """O4/S13 — log tail: newest 1000 rows (TakeOrderedAndProject, no full sort).
+
+    Reference: api.py:842-890 (read last 1000 JSONL lines newest-first)."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.orderBy(F.desc("ts"), F.desc("event_id"))
+        .select("event_id", "ts", "event_type")
+        .limit(1000)
+    )
+
+
+SQL_LOG_TAIL = """
+SELECT event_id, ts, event_type
+FROM events ORDER BY ts DESC, event_id DESC LIMIT 1000
+"""
+
+
+def q_lookup_join(spark, sf_dir):
+    """J5 — id→object lookup as a broadcast hash join (replaces the
+    reference's O(n·m) nested loop at worker.py:219), rolled up per brand."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 48)
+    part = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+        )
+    )
+
+
+SQL_LOOKUP_JOIN = """
+SELECT p_brand, count(*) AS n_items, CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_quantity >= 48
+GROUP BY p_brand
+"""
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -894,6 +1105,9 @@ CATALOG: dict[str, tuple[Query, str | None]] = {
     "priority_topk": (q_priority_topk, SQL_PRIORITY_TOPK),
     "per_host_budget": (q_per_host_budget, SQL_PER_HOST_BUDGET),
     "crawl_order_fifo": (q_crawl_order, SQL_CRAWL_ORDER),
+    "union_distinct": (q_union_distinct, SQL_UNION_DISTINCT),
+    "log_tail": (q_log_tail, SQL_LOG_TAIL),
+    "lookup_join": (q_lookup_join, SQL_LOOKUP_JOIN),
     # scalar functions
     "canonical_urls": (q_canonical_urls, SQL_CANONICAL),
     "doc_keys_sha256": (q_doc_keys, SQL_DOC_KEYS),
@@ -911,6 +1125,8 @@ CATALOG: dict[str, tuple[Query, str | None]] = {
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_NGRAM_JACCARD),
     # similarity search
     "ann_cosine_topk": (q_ann_topk, SQL_ANN_TOPK),
+    "ann_ivf_bucketed": (q_ann_ivf_bucketed, SQL_ANN_IVF),
+    "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_DEDUP_EMB_COSINE),
     "embedding_centroids": (q_embedding_centroids, SQL_CENTROIDS),
     # text analysis
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
@@ -918,6 +1134,8 @@ CATALOG: dict[str, tuple[Query, str | None]] = {
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "top_tokens": (q_top_tokens, SQL_TOP_TOKENS),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    # multimodal plumbing
+    "multimodal_image_meta": (q_multimodal_image_meta, SQL_MULTIMODAL_META),
 }
 
 

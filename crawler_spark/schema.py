@@ -80,7 +80,9 @@ DOCUMENTS = StructType([
     StructField("content", StringType(), True),      # json.dumps(obj)
     StructField("essential_text", StringType(), True),
     StructField("timestamp", TimestampType(), True),
-    StructField("embedding", ArrayType(FloatType()), True),
+    # packed little-endian float32 (1536 × 4 B); see functions/embed.py for
+    # why binary beats array<float> at the parquet layer
+    StructField("embedding", BinaryType(), True),
 ])
 
 #: per-(epoch, partition) lineage + fetch log (reference worker.py:57-73)

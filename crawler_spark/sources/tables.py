@@ -102,6 +102,20 @@ class SnapshotStore:
         writer.parquet(str(target))
         return version
 
+    def materialize(self, spark: SparkSession, df: DataFrame, name: str) -> DataFrame:
+        """Write ``df`` to a transient scratch area and read it back.
+
+        Used for per-epoch intermediates that feed several downstream sinks
+        (e.g. the extract output): one parquet pass pins the data so no sink
+        re-runs the upstream Python stage — ``cache()`` alone does not give
+        that guarantee across multi-action epochs, and on a real cluster the
+        scratch write doubles as the shuffle-safe restart point. Scratch is
+        NOT manifest-tracked: a crashed epoch simply overwrites it on re-run.
+        """
+        path = self.root / "scratch" / name
+        df.write.mode("overwrite").parquet(str(path))
+        return spark.read.parquet(str(path))
+
     # -- append-only tables (logs / lineage) --------------------------------
 
     def append(self, df: DataFrame, name: str, label: str) -> None:

@@ -80,8 +80,10 @@ def test_crawl_matches_oracle(spark, tmp_path, small_corpus):
 
 
 def len_embedding_ok(engine, key) -> bool:
-    row = engine.documents().filter(F.col("id") == key).select(F.size("embedding")).first()
-    return row[0] == 1536
+    # packed float32 storage: 1536 dims × 4 bytes (functions/embed.py)
+    row = engine.documents().filter(F.col("id") == key).select(
+        F.octet_length("embedding")).first()
+    return row[0] == 1536 * 4
 
 
 def test_dynamic_add_remove_phases(spark, tmp_path):
