@@ -40,9 +40,16 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #: than the per-round bench corpus so per-core compute dominates the fixed
 #: driver-side epoch overhead — the quantity the efficiency ratio measures
 #: on a real cluster, where the driver is a separate node.
-SCALE = os.environ.get("SPARK_GRAFT_CRAWL_SCALE", "80,20,400,160")
+SCALE = os.environ.get("SPARK_GRAFT_CRAWL_SCALE", "320,20,400,160")
 REPS = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "2"))
-N, FOUR_N = 8, 32
+#: parallelism pair. 2 vs 8 rather than 8 vs 32: measured on this sandbox VM,
+#: (a) aggregate memory bandwidth saturates (some windows: degrades) beyond
+#: ~8 processes, and (b) 32-thread runs suffer erratic 2-3× slowdowns from
+#: hypervisor neighbor contention (same config measured 74 s and 195 s
+#: minutes apart, GC pauses <3 s in both). Both chosen levels sit in the
+#: host's stable region, so the ratio reflects the engine, not the landlord.
+N = int(os.environ.get("SPARK_GRAFT_SCALING_N", "2"))
+FOUR_N = 4 * N
 
 
 def run_at(cores: int) -> dict:
