@@ -964,6 +964,98 @@ GROUP BY token ORDER BY n DESC, token LIMIT 20
 """
 
 
+def q_url_encode_paths(spark, sf_dir):
+    """C10 — URL percent-encoding via the JVM built-in (api.py:453 analog).
+
+    The synthetic corpus text alphabet is [a-z ], so java-style encoding
+    reduces to space→'+' — which the oracle reproduces exactly with replace.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.url_encode(F.substring("text", 1, 50)).alias("enc_path"))
+
+
+SQL_URL_ENCODE = """
+SELECT doc_id, replace(substr(text, 1, 50), ' ', '+') AS enc_path FROM documents
+"""
+
+
+def q_top_terms_per_doc(spark, sf_dir):
+    """TF × document-frequency salient terms per doc — integer-exact tf-idf
+    variant (rank by tf desc, df asc; no floating log so both engines agree
+    bit-for-bit). Stop-terms (df > 100 docs) are cut before ranking — the
+    same document-frequency cut the n-gram dedup uses.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    tok = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_counts = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("token"))
+    return (
+        tok.join(df_counts.filter(F.col("df") <= 100), "token")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "rank", "token", "tf", "df")
+    )
+
+
+SQL_TOP_TERMS = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfc AS (SELECT token, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1 HAVING count(DISTINCT doc_id) <= 100)
+SELECT doc_id, rank, token, tf, df FROM (
+  SELECT tf.doc_id, tf.token, tf.tf, dfc.df,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf DESC, dfc.df ASC, tf.token ASC) AS rank
+  FROM tf JOIN dfc USING (token)
+) WHERE rank <= 3
+"""
+
+
+_CHUNK, _STEP = 64, 48  # 64-token windows, 16-token overlap
+
+
+def q_chunk_spans(spark, sf_dir):
+    """Training-data chunking: fixed-size token windows with overlap.
+
+    Emits one row per (doc, chunk) span — the shape an LLM-pretraining
+    tokenize-and-pack stage needs; pure integer arithmetic on token offsets
+    (the chunk *text* is a trivial slice downstream). Scale: explode of an
+    arithmetic sequence — scan-side, no shuffle at all.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select("doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
+    return (
+        d.withColumn(
+            "start_tok",
+            F.explode(F.expr(f"sequence(0, greatest(n_tokens - 1, 0), {_STEP})")),
+        )
+        .select(
+            "doc_id",
+            (F.col("start_tok") / _STEP).cast("int").alias("chunk_idx"),
+            "start_tok",
+            F.least(F.col("start_tok") + _CHUNK, F.col("n_tokens")).alias("end_tok"),
+        )
+    )
+
+
+SQL_CHUNK_SPANS = f"""
+WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents)
+SELECT doc_id,
+       CAST(start_tok / {_STEP} AS INTEGER) AS chunk_idx,
+       start_tok,
+       least(start_tok + {_CHUNK}, n_tokens) AS end_tok
+FROM (SELECT doc_id, n_tokens,
+             unnest(generate_series(0, greatest(n_tokens - 1, 0), {_STEP})) AS start_tok
+      FROM d)
+"""
+
+
 def q_doc_fingerprint(spark, sf_dir):
     """Document fingerprinting: md5 of whitespace-normalized lowercase text."""
     docs = _t(spark, sf_dir, "documents")
@@ -1134,6 +1226,9 @@ CATALOG: dict[str, tuple[Query, str | None]] = {
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "top_tokens": (q_top_tokens, SQL_TOP_TOKENS),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    "url_encode_paths": (q_url_encode_paths, SQL_URL_ENCODE),
+    "top_terms_per_doc": (q_top_terms_per_doc, SQL_TOP_TERMS),
+    "chunk_spans": (q_chunk_spans, SQL_CHUNK_SPANS),
     # multimodal plumbing
     "multimodal_image_meta": (q_multimodal_image_meta, SQL_MULTIMODAL_META),
 }
