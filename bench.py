@@ -84,6 +84,11 @@ def _sf_tag(sf_dir: str) -> str:
 def run_queries(spark, sf_dir: str) -> dict[str, float]:
     from crawler_spark.plans.queries import CATALOG
 
+    # untimed warm-up: JVM JIT + codegen + parquet footer reads, so the first
+    # timed query doesn't also pay one-time session costs
+    for t in ("lineitem", "orders", "customer", "events", "documents", "embeddings"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn, _ = CATALOG[name]

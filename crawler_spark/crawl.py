@@ -418,15 +418,27 @@ class CrawlEngine:
             self.store.read(self.spark, "documents").count()
             if cfg.collect_stats and self.store.exists("documents") else 0
         )
+        # url_seen first (its DAG materializes the added/removed caches the
+        # documents sink reuses), then the three remaining sinks concurrently
+        # from driver threads — they are independent DAGs over pinned inputs,
+        # and on a cluster there is no reason for the short frontier/metrics
+        # jobs to wait behind the long documents job.
         versions = {
-            "frontier": self.store.write(
-                frontier_after.repartition(cfg.num_partitions, "host_hash"), "frontier"),
             "url_seen": self.store.write(
                 seen_after.repartition(cfg.num_partitions, "host_hash"), "url_seen"),
-            "documents": self.store.write(docs_after, "documents"),
         }
-        # per-epoch lineage is append-only: O(1) write, unioned at read time
-        self.store.append(metrics, "metrics", f"{epoch:06d}")
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            f_frontier = pool.submit(
+                self.store.write,
+                frontier_after.repartition(cfg.num_partitions, "host_hash"), "frontier")
+            f_docs = pool.submit(self.store.write, docs_after, "documents")
+            # per-epoch lineage is append-only: O(1) write, unioned at read time
+            f_metrics = pool.submit(self.store.append, metrics, "metrics", f"{epoch:06d}")
+            versions["frontier"] = f_frontier.result()
+            versions["documents"] = f_docs.result()
+            f_metrics.result()
 
         if cfg.collect_stats:
             rep.fetched_ok = done.count()
