@@ -48,18 +48,24 @@ REPS = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "2"))
 #: hypervisor neighbor contention (same config measured 74 s and 195 s
 #: minutes apart, GC pauses <3 s in both). Both chosen levels sit in the
 #: host's stable region, so the ratio reflects the engine, not the landlord.
-N = int(os.environ.get("SPARK_GRAFT_SCALING_N", "2"))
+N = int(os.environ.get("SPARK_GRAFT_SCALING_N", "1"))
 FOUR_N = 4 * N
 
 
 def run_at(cores: int) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores), SPARK_GRAFT_SF_DIR=SF_DIR,
                SPARK_GRAFT_CRAWL_SCALE=SCALE)
-    out = subprocess.run(
-        [sys.executable, str(REPO / "bench.py"), "--crawl-only"],
-        env=env, capture_output=True, text=True, check=True, cwd=str(REPO),
-    )
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    last_err = ""
+    for attempt in range(2):  # one retry: JVM launch on this VM occasionally flakes
+        out = subprocess.run(
+            [sys.executable, str(REPO / "bench.py"), "--crawl-only"],
+            env=env, capture_output=True, text=True, cwd=str(REPO),
+        )
+        if out.returncode == 0 and out.stdout.strip():
+            return json.loads(out.stdout.strip().splitlines()[-1])
+        last_err = out.stderr[-2000:]
+        print(f"run_at({cores}) attempt {attempt} failed:\n{last_err}", file=sys.stderr)
+    raise RuntimeError(f"bench --crawl-only failed at {cores} cores:\n{last_err}")
 
 
 def _bw_worker(q) -> None:
