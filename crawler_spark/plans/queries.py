@@ -1069,6 +1069,41 @@ FROM documents
 """
 
 
+_ROLL_P = 1_000_000_007
+_ROLL_TOK_MOD = 1_000_003
+
+
+def q_rolling_hash(spark, sf_dir):
+    """Polynomial rolling-hash document fingerprint over token streams.
+
+    Each token maps to a 31-bit int (md5 prefix), then a left fold computes
+    ``acc = (acc * 31 + tok) mod p`` — the Rabin-Karp shape, fully
+    JVM-side via the ``aggregate`` higher-order function (one scan, zero
+    shuffles, integer-exact across engines).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    toks = (
+        f"transform(split(text, ' '), "
+        f"t -> cast(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT) % {_ROLL_TOK_MOD})"
+    )
+    fold = (
+        f"aggregate({toks}, cast(0 AS BIGINT), "
+        f"(acc, x) -> (acc * 31 + x) % {_ROLL_P})"
+    )
+    return docs.select("doc_id", F.expr(fold).alias("rolling_hash"))
+
+
+SQL_ROLLING_HASH = f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(0::BIGINT,
+           list_transform(string_split(text, ' '),
+                          t -> ('0x' || substr(md5(t), 1, 8))::BIGINT % {_ROLL_TOK_MOD})),
+         (acc, x) -> (acc * 31 + x) % {_ROLL_P}) AS rolling_hash
+FROM documents
+"""
+
+
 def q_multimodal_image_meta(spark, sf_dir):
     """Multimodal plumbing end-to-end: synthesize a stub image per document
     (binary column), run the real Arrow-batched decode kernel
@@ -1227,6 +1262,7 @@ CATALOG: dict[str, tuple[Query, str | None]] = {
     "top_tokens": (q_top_tokens, SQL_TOP_TOKENS),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "url_encode_paths": (q_url_encode_paths, SQL_URL_ENCODE),
+    "rolling_hash_fingerprint": (q_rolling_hash, SQL_ROLLING_HASH),
     "top_terms_per_doc": (q_top_terms_per_doc, SQL_TOP_TERMS),
     "chunk_spans": (q_chunk_spans, SQL_CHUNK_SPANS),
     # multimodal plumbing
