@@ -1158,6 +1158,31 @@ FROM documents
 """
 
 
+def q_frame_sample_plan(spark, sf_dir):
+    """Video frame-sampling plumbing (operators/multimodal.frame_sample_plan):
+    one row per sampled frame index, every 10th frame. The decode is stubbed
+    (no ffmpeg in-container); the explode/keying shape — which is what scales
+    — is the real operator, and the oracle recomputes it arithmetically.
+    """
+    from crawler_spark.operators.multimodal import frame_sample_plan
+
+    videos = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("key"),
+        (F.col("doc_id") % 90 + 10).cast("int").alias("n_frames"),
+    )
+    return frame_sample_plan(videos, every_n=10).select(
+        F.col("key").cast("long").alias("doc_id"), "frame_idx", "frame_key")
+
+
+SQL_FRAME_SAMPLE = """
+WITH v AS (SELECT doc_id, CAST(doc_id % 90 + 10 AS INTEGER) AS n_frames FROM documents)
+SELECT doc_id,
+       unnest(generate_series(0, greatest(n_frames - 1, 0), 10)) AS frame_idx,
+       doc_id || '#' || unnest(generate_series(0, greatest(n_frames - 1, 0), 10)) AS frame_key
+FROM v
+"""
+
+
 def q_union_distinct(spark, sf_dir):
     """U2/U4 — union of two key projections + distinct (one shuffle).
 
@@ -1267,6 +1292,7 @@ CATALOG: dict[str, tuple[Query, str | None]] = {
     "chunk_spans": (q_chunk_spans, SQL_CHUNK_SPANS),
     # multimodal plumbing
     "multimodal_image_meta": (q_multimodal_image_meta, SQL_MULTIMODAL_META),
+    "frame_sample_plan": (q_frame_sample_plan, SQL_FRAME_SAMPLE),
 }
 
 
