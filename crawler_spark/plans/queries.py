@@ -284,7 +284,7 @@ def q_json_extract(spark, sf_dir):
 
 SQL_JSON_EXTRACT = """
 SELECT event_type,
-       sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
        count(*) AS n
 FROM events GROUP BY event_type
 """
@@ -317,8 +317,8 @@ def q_pricing_summary(spark, sf_dir):
 SQL_PRICING = f"""
 SELECT l_returnflag, l_linestatus,
        CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
-       sum({_CENTS_SQL.format(expr="l_extendedprice")}) AS sum_base_cents,
-       sum({_CENTS_SQL.format(expr="l_extendedprice * (1.0 - l_discount)")}) AS sum_disc_cents,
+       CAST(sum({_CENTS_SQL.format(expr="l_extendedprice")}) AS BIGINT) AS sum_base_cents,
+       CAST(sum({_CENTS_SQL.format(expr="l_extendedprice * (1.0 - l_discount)")}) AS BIGINT) AS sum_disc_cents,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -346,7 +346,7 @@ def q_shipping_priority(spark, sf_dir):
 
 SQL_SHIPPING = f"""
 SELECT l_orderkey, o_orderdate,
-       sum({_CENTS_SQL.format(expr="l_extendedprice * (1.0 - l_discount)")}) AS revenue_cents
+       CAST(sum({_CENTS_SQL.format(expr="l_extendedprice * (1.0 - l_discount)")}) AS BIGINT) AS revenue_cents
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -378,7 +378,7 @@ def q_region_revenue(spark, sf_dir):
 
 SQL_REGION_REVENUE = f"""
 SELECT r_name, n_name,
-       sum({_CENTS_SQL.format(expr="l_extendedprice * (1.0 - l_discount)")}) AS revenue_cents
+       CAST(sum({_CENTS_SQL.format(expr="l_extendedprice * (1.0 - l_discount)")}) AS BIGINT) AS revenue_cents
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -406,7 +406,7 @@ def q_windowed_events(spark, sf_dir):
 SQL_WINDOWED = f"""
 SELECT date_trunc('hour', ts) AS window_start, event_type,
        count(*) AS n_events,
-       sum({_CENTS_SQL.format(expr="value")}) AS sum_value_cents
+       CAST(sum({_CENTS_SQL.format(expr="value")}) AS BIGINT) AS sum_value_cents
 FROM events GROUP BY 1, 2
 """
 
@@ -587,7 +587,7 @@ votes AS (SELECT doc_id, b,
                  sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
           FROM bits GROUP BY 1, 2),
 sh AS (SELECT doc_id,
-              sum(CASE WHEN vote > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+              CAST(sum(CASE WHEN vote > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
        FROM votes GROUP BY 1)
 """
 
@@ -907,9 +907,9 @@ def q_token_stats(spark, sf_dir):
 
 SQL_TOKEN_STATS = """
 SELECT lang, count(*) AS n_docs,
-       sum(len(string_split(text, ' '))) AS sum_ws_tokens,
-       sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS sum_re_tokens,
-       sum(n_chars) AS sum_chars
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_ws_tokens,
+       CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS sum_re_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM documents GROUP BY lang
 """
 

@@ -31,7 +31,41 @@ def duck(sf_dir):
     con.close()
 
 
+def _type_class(arrow_type) -> str:
+    """Canonical logical class of an Arrow type, at the granularity the
+    driver's type-aware value-hash distinguishes.
+
+    All integer widths <= 64 bits hash identically (Spark INT vs DuckDB
+    BIGINT never tripped the driver), but DuckDB's HUGEINT/int128 — the
+    default result type of SUM over integers — surfaces as decimal128 in
+    Arrow and hashes differently from LONG. Keeping "decimal" a distinct
+    class means an un-cast outer SUM fails HERE at sf0.001 instead of in
+    the driver's CORRECTNESS gate.
+    """
+    import pyarrow.types as pt
+
+    if pt.is_integer(arrow_type):
+        return "int"
+    if pt.is_decimal(arrow_type):
+        return "decimal"
+    if pt.is_floating(arrow_type):
+        return "float"
+    if pt.is_timestamp(arrow_type) or pt.is_date(arrow_type):
+        return "timestamp"
+    if pt.is_boolean(arrow_type):
+        return "bool"
+    if pt.is_string(arrow_type) or pt.is_large_string(arrow_type):
+        return "string"
+    if pt.is_binary(arrow_type) or pt.is_large_binary(arrow_type):
+        return "binary"
+    return str(arrow_type)
+
+
 def _canon(value):
+    import decimal
+
+    if isinstance(value, decimal.Decimal):
+        return int(value) if value == int(value) else float(value)
     if isinstance(value, float):
         return round(value, 9)
     if hasattr(value, "isoformat"):
@@ -57,11 +91,22 @@ def test_query_matches_oracle(name, spark, sf_dir, duck):
     spark_rows = [tuple(r) for r in sdf.collect()]
 
     assert sql is not None, f"{name} has no oracle"
-    res = duck.execute(sql)
-    duck_cols = [d[0] for d in res.description]
-    duck_rows = res.fetchall()
+    duck_arrow = duck.execute(sql).fetch_arrow_table()
+    duck_cols = duck_arrow.column_names
+    duck_rows = [tuple(r.values()) for r in duck_arrow.to_pylist()]
 
     assert sorted(spark_cols) == sorted(duck_cols), f"{name}: column names differ"
+
+    # driver-parity type check: DuckDB HUGEINT (arrow decimal128) vs Spark
+    # LONG hashes differently in the driver even when values coerce equal
+    spark_types = {f.name: _type_class(t) for f, t in
+                   zip(sdf.schema.fields, sdf.limit(0).toArrow().schema.types)}
+    duck_types = {n: _type_class(t) for n, t in
+                  zip(duck_cols, duck_arrow.schema.types)}
+    for col in spark_types:
+        assert spark_types[col] == duck_types[col], (
+            f"{name}.{col}: type class differs — spark {spark_types[col]} "
+            f"vs oracle {duck_types[col]} (un-cast SUM?)")
     got = _rows(spark_cols, spark_rows)
     want = _rows(duck_cols, duck_rows)
     assert len(got) == len(want), f"{name}: row counts {len(got)} vs {len(want)}"
