@@ -468,6 +468,7 @@ FROM base GROUP BY 1 HAVING count(*) > 1
 
 _MINHASH_K = 6
 _BANDS = 3  # 2 rows per band
+_BUCKET_CAP = 100  # stop-band cut: max docs per LSH band bucket
 
 _SHINGLES_SPARK = (
     "case when size(ts) >= 3 then "
@@ -515,6 +516,17 @@ def q_dedup_minhash_lsh(spark, sf_dir):
             ])
         ).alias("band"),
     ).select("doc_id", "band.band_idx", "band.band_val")
+    # stop-band cut: a degenerate band value shared by > _BUCKET_CAP docs
+    # (empty/near-empty texts) would fan out quadratically in the self-join;
+    # drop it, same as the df<=100 stop-shingle cut in ngram_jaccard. Real
+    # near-dup clusters this large are resolved by exact dedup upstream.
+    rare_bands = (
+        bands.groupBy("band_idx", "band_val")
+        .agg(F.count(F.lit(1)).alias("bdf"))
+        .filter(F.col("bdf") <= _BUCKET_CAP)
+        .select("band_idx", "band_val")
+    )
+    bands = bands.join(rare_bands, ["band_idx", "band_val"], "left_semi")
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -539,7 +551,10 @@ WITH base AS ({_SQL_DOUBLED_NEAR}),
 tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM base),
 sh AS (SELECT doc_id, {_SHINGLES_DUCK} AS shingles FROM tok),
 mh AS (SELECT doc_id, {_MH_DUCK} FROM sh),
-bands AS ({_BANDS_DUCK})
+bands0 AS ({_BANDS_DUCK}),
+rareb AS (SELECT band_idx, band_val FROM bands0
+          GROUP BY 1, 2 HAVING count(*) <= {_BUCKET_CAP}),
+bands AS (SELECT bands0.* FROM bands0 JOIN rareb USING (band_idx, band_val))
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
 FROM bands a JOIN bands b
   ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
@@ -599,28 +614,60 @@ SELECT doc_id, simhash FROM sh
 
 
 def q_dedup_simhash_pairs(spark, sf_dir):
-    """Near-dup pairs: hamming(simhash) <= 3 over the planted-near-dup corpus."""
+    """Near-dup pairs: hamming(simhash) <= 3, found via pigeonhole banding.
+
+    The 32-bit simhash splits into 4 exact-match bands of 8 bits; hamming
+    <= 3 guarantees at least one band is bit-identical (4 bands, at most 3
+    differing bits), so an equi-join on (band_idx, band_bits) has perfect
+    recall — same output as the all-pairs join, but the only shuffle is a
+    hash join on band values instead of an O(n^2) nested loop. The same
+    trick the MinHash query uses; scale-safe at 10^10 docs.
+    """
     sh = _simhash_df(spark, sf_dir, _doubled_near(spark, sf_dir))
-    a, b = sh.alias("a"), sh.alias("b")
-    ham = F.bit_count(F.expr("a.simhash ^ b.simhash"))
-    return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .filter(ham <= 3)
+    bands = sh.select(
+        "doc_id", "simhash",
+        F.explode(F.expr(
+            "transform(sequence(0, 3), i -> struct("
+            "i AS band_idx, cast(shiftright(simhash, i * 8) & 255 AS int) AS band_bits))"
+        )).alias("band"),
+    ).select("doc_id", "simhash", "band.band_idx", "band.band_bits")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+               & (F.col("a.band_bits") == F.col("b.band_bits"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            ham.cast("int").alias("hamming"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
         )
+        .distinct()  # a pair matching in k bands appears k times
+    )
+    ham = F.bit_count(F.expr("sh_a ^ sh_b"))
+    return (
+        cand.filter(ham <= 3)
+        .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
     )
 
 
 SQL_SIMHASH_PAIRS = f"""
 WITH base AS ({_SQL_DOUBLED_NEAR}),
-{_SIMHASH_DUCK_BODY}
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
-FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+{_SIMHASH_DUCK_BODY},
+bands AS (
+  SELECT doc_id, simhash, t.band_idx,
+         (simhash >> (t.band_idx * 8)) & 255 AS band_bits
+  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band_idx) t
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.simhash AS sh_a, b.simhash AS sh_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_bits = b.band_bits
+   AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
 """
 
 
@@ -729,10 +776,11 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     Every vector is replanted under vec_id+100000, so each base/copy pair has
     cosine exactly 1.0 while the sf0.01 corpus' max organic pairwise cosine is
     0.513 — the 0.95 threshold is precision-proof across engines. Output is
-    integer ids only. Scale shape: the pairwise stage is the same
-    bucket-join as `ann_ivf_bucketed`; here the threshold filter makes the
-    all-pairs join acceptable at test sf, while the 10^10 path pre-buckets
-    (crawler_spark.operators.similarity.lsh_topk).
+    integer ids only. Scale shape: a sign-sketch bucket equi-join (the
+    `ann_ivf_bucketed` / `similarity.lsh_topk` shape) — one shuffle on the
+    bucket key, no all-pairs stage. For near-dups that are close-but-not-
+    identical, recall is tuned by widening probes/tables (lsh_topk does);
+    the single-table variant here keeps the oracle bit-deterministic.
     """
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     base = emb.unionByName(
@@ -740,25 +788,42 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     v = base.withColumn("vd", F.expr("transform(embedding, x -> cast(x AS double))"))
     v = v.withColumn(
         "nrm", F.sqrt(F.expr("aggregate(vd, 0D, (acc, x) -> acc + x * x)")))
-    a = v.select(F.col("vec_id").alias("vec_a"), F.col("vd").alias("va"), F.col("nrm").alias("na"))
-    b = v.select(F.col("vec_id").alias("vec_b"), F.col("vd").alias("vb"), F.col("nrm").alias("nb"))
+    # 8-bit sign-sketch bucket over the first 8 dims: duplicate vectors share
+    # the bucket by construction, so the equi-join keeps perfect recall on
+    # exact/replanted copies while touching ~1/256 of the pair space. The
+    # oracle applies the identical bucket so both engines see the same set.
+    bucket = sum(
+        ((F.col("vd")[i] > 0).cast("int") * (1 << i)) for i in range(8)
+    )
+    v = v.withColumn("bucket", bucket)
+    a = v.select(F.col("vec_id").alias("vec_a"), F.col("vd").alias("va"),
+                 F.col("nrm").alias("na"), "bucket")
+    b = v.select(F.col("vec_id").alias("vec_b"), F.col("vd").alias("vb"),
+                 F.col("nrm").alias("nb"), "bucket")
     dot = F.expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        a.join(b, ["bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
         .withColumn("cosine", dot / (F.col("na") * F.col("nb")))
         .filter(F.col("cosine") >= 0.95)
         .select("vec_a", "vec_b")
     )
 
 
-SQL_DEDUP_EMB_COSINE = """
+_EMB_BUCKET_DUCK = " + ".join(
+    f"{1 << i} * CAST(embedding[{i + 1}] > 0 AS INTEGER)" for i in range(8)
+)
+
+SQL_DEDUP_EMB_COSINE = f"""
 WITH base AS (
   SELECT vec_id, embedding FROM embeddings
   UNION ALL SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings
 ),
-v AS (SELECT vec_id, embedding::DOUBLE[] AS vd FROM base)
+v AS (SELECT vec_id, embedding::DOUBLE[] AS vd,
+             {_EMB_BUCKET_DUCK} AS bucket
+      FROM base)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-FROM v a JOIN v b ON a.vec_id < b.vec_id
+FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.vd, b.vd) >= 0.95
 """
 

@@ -114,6 +114,25 @@ def test_query_matches_oracle(name, spark, sf_dir, duck):
         f"{next((a, b) for a, b in zip(got, want) if a != b) if got and want else 'empty'})"
 
 
+_BUCKETED_PAIR_QUERIES = (
+    # every pair-generating dedup query must candidate via an equi-join on a
+    # bucket key (bands / sign-sketch / shingles) — an all-pairs plan would
+    # appear as CartesianProduct or BroadcastNestedLoopJoin and die at scale
+    "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+)
+
+
+@pytest.mark.parametrize("name", _BUCKETED_PAIR_QUERIES)
+def test_pair_queries_have_no_cartesian_plan(name, spark, sf_dir):
+    fn, _ = CATALOG[name]
+    plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in plan, f"{name}: {bad} in physical plan — all-pairs join"
+
+
 def test_catalog_is_nonempty_where_expected(spark, sf_dir):
     # dedup queries must find the planted duplicates, not vacuous empties
     for name in ("dedup_exact", "dedup_minhash_lsh", "dedup_simhash_pairs", "dedup_ngram_jaccard"):
