@@ -340,11 +340,14 @@ class CrawlEngine:
             new_docs = (
                 firsts.join(
                     extracted.select("file_url", "user_id", "id", "obj_json",
-                                     "types", "essential_text", "site_url"),
+                                     "types", "type_list", "essential_text", "site_url"),
                     ["file_url", "user_id", "id"],
                 )
-                # F3: BreadcrumbList objects are never indexed (worker.py:221-226)
-                .filter(~F.col("types").contains("BreadcrumbList"))
+                # F3: BreadcrumbList objects are never indexed. Exact element
+                # match on the @type list (worker.py:221-226) — a substring
+                # test on the display string would wrongly skip e.g.
+                # `BreadcrumbListItem`.
+                .filter(~F.array_contains("type_list", "BreadcrumbList"))
                 # explicit parallelism for the embed stage: AQE coalesces the
                 # join output by its ~1 KB/row size, but the embed expands each
                 # row by a 6 KB vector — without this repartition the most

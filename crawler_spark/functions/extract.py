@@ -189,6 +189,19 @@ def join_types(type_tag: Any) -> str:
     return str(type_tag) if type_tag is not None else ""
 
 
+def type_list(type_tag: Any) -> list[str]:
+    """``@type`` as a normalized element list.
+
+    Type predicates must match reference semantics — exact equality for a
+    scalar ``@type``, membership for a list (worker.py:221-226) — NOT a
+    substring test on the joined display string, which would wrongly match
+    e.g. ``BreadcrumbListItem`` or any multi-type join containing the word.
+    """
+    if isinstance(type_tag, list):
+        return [str(t) for t in type_tag]
+    return [] if type_tag is None else [str(type_tag)]
+
+
 # ---------------------------------------------------------------------------
 # Spark wrappers
 # ---------------------------------------------------------------------------
@@ -196,7 +209,7 @@ def join_types(type_tag: Any) -> str:
 #: output schema of :func:`explode_jsonld` — one row per extracted object.
 EXTRACTED_SCHEMA = (
     "file_url string, id string, obj_json string, types string, "
-    "essential_text string, position int, num_ids int"
+    "type_list array<string>, essential_text string, position int, num_ids int"
 )
 
 
@@ -213,7 +226,7 @@ def explode_jsonld(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         out: dict[str, list] = {
             "file_url": [], "id": [], "obj_json": [], "types": [],
-            "essential_text": [], "position": [], "num_ids": [],
+            "type_list": [], "essential_text": [], "position": [], "num_ids": [],
         }
         for file_url, body in zip(pdf["file_url"], pdf["body"]):
             ids, objects = extract_from_bytes(body)
@@ -223,6 +236,7 @@ def explode_jsonld(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 out["id"].append(None)
                 out["obj_json"].append(None)
                 out["types"].append(None)
+                out["type_list"].append(None)
                 out["essential_text"].append(None)
                 out["position"].append(0)
                 out["num_ids"].append(0)
@@ -232,6 +246,7 @@ def explode_jsonld(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 out["id"].append(oid)
                 out["obj_json"].append(json.dumps(obj))
                 out["types"].append(join_types(obj.get("@type")))
+                out["type_list"].append(type_list(obj.get("@type")))
                 out["essential_text"].append(extract_essential_fields(obj))
                 out["position"].append(pos)
                 out["num_ids"].append(n)

@@ -78,6 +78,14 @@ def make_object(site_idx: int, chunk_idx: int, item_idx: int, seed: int = 42) ->
         "name": f"{obj_type} {_sentence(coord, 3)} {item_idx}",
         "description": _sentence(coord + 1, 8 + coord % 8),
     }
+    # breadcrumb edge cases (exact-element-match semantics, worker.py:221-226):
+    # a multi-type list containing BreadcrumbList must be SKIPPED by indexing;
+    # the lone type BreadcrumbListItem (substring trap) must be INDEXED.
+    tmod = coord % 29
+    if tmod == 11:
+        obj["@type"] = ["Thing", "BreadcrumbList"]
+    elif tmod == 12:
+        obj["@type"] = "BreadcrumbListItem"
     if obj_type == "Recipe":
         obj["recipeIngredient"] = [_sentence(coord + i, 2) for i in range(3)]
         obj["cookTime"] = f"PT{10 + coord % 50}M"

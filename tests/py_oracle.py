@@ -95,8 +95,13 @@ def crawl_fixed_point(
             count_before = sum(1 for t in st.url_seen if t[2] == oid and t[1] == user_id)
             st.url_seen.add((file_url, user_id, oid))
             if count_before == 0:
-                types = join_types(obj.get("@type"))
-                if "BreadcrumbList" not in types:
+                tt = obj.get("@type")
+                # reference worker.py:221-226: exact match for scalar @type,
+                # membership for list — NOT substring on the display string
+                is_breadcrumb = tt == "BreadcrumbList" or (
+                    isinstance(tt, list) and "BreadcrumbList" in tt)
+                if not is_breadcrumb:
+                    types = join_types(obj.get("@type"))
                     st.documents[_doc_key(oid)] = {
                         "url": oid, "site": site, "type": types,
                         "content": json.dumps(obj),

@@ -86,6 +86,51 @@ def len_embedding_ok(engine, key) -> bool:
     return row[0] == 1536 * 4
 
 
+def test_breadcrumb_exact_element_match(spark, tmp_path):
+    """F3 golden (worker.py:221-226): @type='BreadcrumbListItem' must be
+    indexed (substring trap), ['Thing','BreadcrumbList'] must be skipped,
+    and both still count toward the URL-seen set."""
+    import json
+    from datetime import datetime, timezone
+
+    from crawler_spark.schema import PAGES
+
+    base = "https://site00000.example.com"
+    objs = [
+        {"@type": "BreadcrumbListItem", "@id": f"{base}/chunk0.json#schema-0",
+         "name": "keep me"},
+        {"@type": ["Thing", "BreadcrumbList"], "@id": f"{base}/chunk0.json#schema-1",
+         "name": "skip me"},
+        {"@type": "BreadcrumbList", "@id": f"{base}/chunk0.json#schema-2",
+         "name": "skip me too"},
+        {"@type": "Thing", "@id": f"{base}/chunk0.json#schema-3",
+         "name": "normal"},
+    ]
+    ts = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    rows = [
+        {"url": f"{base}/robots.txt", "warc_ts": ts,
+         "html": b"User-agent: *\nSchemaMap: /schema_map.xml\n", "text": "", "lang": "en"},
+        {"url": f"{base}/schema_map.xml", "warc_ts": ts,
+         "html": ('<?xml version="1.0"?><urlset><url contentType="schema.org/Thing">'
+                  "<loc>/chunk0.json</loc></url></urlset>").encode(),
+         "text": "", "lang": "en"},
+        {"url": f"{base}/chunk0.json", "warc_ts": ts,
+         "html": json.dumps(objs).encode(), "text": "", "lang": "en"},
+    ]
+    pages = spark.createDataFrame(rows, PAGES)
+    engine = build_engine(spark, tmp_path, pages)
+    engine.bootstrap(seeds_df(spark, 1))
+    engine.run()
+
+    seen, docs = engine_state(engine)
+    assert len(seen) == 4  # breadcrumbs still enter the seen set
+    indexed_urls = {d["url"] for d in docs.values()}
+    assert f"{base}/chunk0.json#schema-0" in indexed_urls  # BreadcrumbListItem kept
+    assert f"{base}/chunk0.json#schema-3" in indexed_urls
+    assert f"{base}/chunk0.json#schema-1" not in indexed_urls  # list member skipped
+    assert f"{base}/chunk0.json#schema-2" not in indexed_urls  # exact match skipped
+
+
 def test_dynamic_add_remove_phases(spark, tmp_path):
     """Phases mirror test_dynamic_updates.py: {0,1,2} → +{3,4} → −{1}."""
     user = "test:user001"
