@@ -7,7 +7,8 @@ The reference embeds essential-field text through Azure OpenAI in batches of
 Arrow-batched pandas UDF:
 
 * batching is Arrow's job (``spark.sql.execution.arrow.maxRecordsPerBatch``);
-* retry/backoff/split live *inside* the UDF per batch (provider path);
+* retry/backoff/split live *inside* the UDF per batch (provider path —
+  :func:`embed_with_provider` / :func:`make_provider_embed_udf`);
 * tests/bench use the deterministic hash-seeded stub below — same shape
   (1536-dim float32, L2-normalized), zero network, reproducible bit-for-bit.
 
@@ -18,6 +19,7 @@ Texts are truncated to 20 000 chars before embedding (reference
 from __future__ import annotations
 
 import hashlib
+import time
 
 import numpy as np
 import pandas as pd
@@ -27,42 +29,153 @@ from pyspark.sql.types import ArrayType, BinaryType, FloatType
 EMBED_DIM = 1536  # reference text-embedding-3-small (vector_db.py:209)
 TEXT_CAP = 20000  # reference truncation (vector_db.py:146-149)
 
+PROVIDER_BATCH = 50   # reference vector_db.py:286-316 batch size
+MAX_RETRIES = 8       # reference azure_oai_embedding.py:50
+
+
+def _is_rate_limit(msg: str) -> bool:
+    # reference azure_oai_embedding.py:73
+    return "429" in msg or "RateLimitReached" in msg or "rate limit" in msg.lower()
+
+
+def _is_token_limit(msg: str) -> bool:
+    # reference azure_oai_embedding.py:86
+    return "maximum context length" in msg or "token" in msg.lower()
+
+
+def _call_provider(provider, texts, retry_count, max_retries, sleep, dim):
+    """One provider call with the reference's full error ladder
+    (``azure_oai_embedding.py:50-98``):
+
+    * 429 / rate limit → exponential backoff ``2^(retry+1)`` s, up to
+      ``max_retries`` retries, then raise;
+    * token-limit on a multi-item batch → binary split, each half retried
+      from a fresh retry budget (the reference recurses with the default
+      ``retry_count=0``);
+    * token-limit on a single item → zero vector (oversize sentinel);
+    * anything else → raise.
+    """
+    try:
+        return [list(v) for v in provider(texts)]
+    except Exception as e:  # noqa: BLE001 - provider errors are string-typed upstream
+        msg = str(e)
+        if _is_rate_limit(msg):
+            if retry_count < max_retries:
+                sleep(2 ** (retry_count + 1))
+                return _call_provider(provider, texts, retry_count + 1,
+                                      max_retries, sleep, dim)
+            raise RuntimeError(
+                f"Rate limit exceeded after {max_retries} retries: {msg}") from e
+        if _is_token_limit(msg):
+            if len(texts) > 1:
+                mid = len(texts) // 2
+                first = _call_provider(provider, texts[:mid], 0, max_retries, sleep, dim)
+                second = _call_provider(provider, texts[mid:], 0, max_retries, sleep, dim)
+                return first + second
+            return [[0.0] * dim]
+        raise RuntimeError(f"Error generating batch embeddings: {msg}") from e
+
+
+def embed_with_provider(
+    provider,
+    texts,
+    batch_size: int = PROVIDER_BATCH,
+    max_retries: int = MAX_RETRIES,
+    sleep=time.sleep,
+    dim: int = EMBED_DIM,
+) -> np.ndarray:
+    """Embed ``texts`` through a real provider with the reference's retry /
+    backoff / binary-split semantics (T9). ``provider`` is any callable
+    ``list[str] -> list[list[float]]`` that raises with a message the error
+    ladder can classify; ``sleep`` is injectable so tests drive 429 storms
+    without wall-clock waits. ``None`` / empty texts become zero vectors
+    without a provider call (reference zero-embedding sentinel)."""
+    out = np.zeros((len(texts), dim), dtype=np.float32)
+    live_idx = [i for i, t in enumerate(texts) if t]
+    for lo in range(0, len(live_idx), batch_size):
+        idx = live_idx[lo:lo + batch_size]
+        batch = [texts[i][:TEXT_CAP] for i in idx]
+        vecs = _call_provider(provider, batch, 0, max_retries, sleep, dim)
+        for i, v in zip(idx, vecs):
+            out[i] = np.asarray(v, dtype=np.float32)
+    return out
+
+
+def make_provider_embed_udf(
+    provider_factory,
+    batch_size: int = PROVIDER_BATCH,
+    packed: bool = True,
+    max_retries: int = MAX_RETRIES,
+):
+    """Pandas-UDF factory wrapping :func:`embed_with_provider` for a real
+    deployment: ``provider_factory()`` runs once per executor task (connection
+    reuse), the retry ladder runs inside the Arrow batch. ``packed=True``
+    emits the binary storage format (see :func:`embed_binary_udf`)."""
+
+    if packed:
+        @pandas_udf(BinaryType())
+        def _udf(texts: pd.Series) -> pd.Series:
+            provider = provider_factory()
+            mat = embed_with_provider(
+                provider, list(texts), batch_size, max_retries).astype("<f4")
+            return pd.Series([row.tobytes() for row in mat], dtype="object")
+    else:
+        @pandas_udf(ArrayType(FloatType()))
+        def _udf(texts: pd.Series) -> pd.Series:
+            provider = provider_factory()
+            mat = embed_with_provider(provider, list(texts), batch_size, max_retries)
+            return pd.Series(list(mat), dtype="object")
+    return _udf
+
 
 def stub_embedding_batch(texts, dim: int = EMBED_DIM) -> np.ndarray:
     """Deterministic unit vectors for a whole batch — fully vectorized.
 
-    vec[i, d] = xxhash-style uint32 mix of (sha256(text_i)[:4] ⊕ d·K) mapped
-    to [-1, 1), then L2-normalized per row. One (n × dim) SIMD-friendly numpy
-    pass per Arrow batch — no per-row RNG objects (per-row
-    ``np.random.default_rng`` at ~80 µs/row dominated the embed stage's
-    Python CPU; this is ~25 µs/row).
+    Each text seeds TWO uint32 lanes from 8 bytes of its sha256 (a 4-byte /
+    2^32 seed space would collide distinct texts into byte-identical vectors
+    with ~50% probability by ~77 k documents — far below the 10^8-10^10 doc
+    target — manufacturing false near-duplicates downstream; 64 bits pushes
+    the birthday bound past 10^9). vec[i, d] = xxhash-style mix of
+    (lane_lo ⊕ d·K1) folded with (lane_hi ⊕ d·K2), mapped to [-1, 1), then
+    L2-normalized per row. One (n × dim) SIMD-friendly numpy pass per Arrow
+    batch — no per-row RNG objects (per-row ``np.random.default_rng`` at
+    ~80 µs/row dominated the embed stage's Python CPU; this is ~25 µs/row).
 
     Oversized-single-item semantics from the reference (zero vector for an
     item that cannot be embedded — ``azure_oai_embedding.py:94-96``) are kept
     for ``None``.
     """
     none_mask = np.array([t is None for t in texts], dtype=bool)
-    seeds = np.array(
+    seeds64 = np.array(
         [
             0 if t is None
-            else int.from_bytes(hashlib.sha256(t[:TEXT_CAP].encode("utf-8")).digest()[:4], "big")
+            else int.from_bytes(hashlib.sha256(t[:TEXT_CAP].encode("utf-8")).digest()[:8], "big")
             for t in texts
         ],
-        dtype=np.uint32,
+        dtype=np.uint64,
     )
-    d = np.arange(1, dim + 1, dtype=np.uint32) * np.uint32(2654435761)
-    out = np.empty((len(seeds), dim), dtype=np.float32)
+    s_lo = (seeds64 & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    s_hi = (seeds64 >> np.uint64(32)).astype(np.uint32)
+    d1 = np.arange(1, dim + 1, dtype=np.uint32) * np.uint32(2654435761)
+    d2 = np.arange(1, dim + 1, dtype=np.uint32) * np.uint32(3266489917)
+    out = np.empty((len(seeds64), dim), dtype=np.float32)
     # chunk so the per-chunk intermediates (~6 MB at 1024 rows) stay in LLC:
     # the mix makes ~10 passes over its work arrays, and at full Arrow-batch
     # width those passes saturate DRAM bandwidth across 32 workers (measured:
     # throughput stops scaling past ~8 cores without chunking)
-    for lo in range(0, len(seeds), 1024):
+    for lo in range(0, len(seeds64), 1024):
         hi = lo + 1024
         with np.errstate(over="ignore"):
-            x = seeds[lo:hi, None] ^ d[None, :]
+            x = s_lo[lo:hi, None] ^ d1[None, :]
             x *= np.uint32(2246822519)
             x ^= x >> np.uint32(13)
             x *= np.uint32(3266489917)
+            x ^= x >> np.uint32(16)
+            y = s_hi[lo:hi, None] ^ d2[None, :]
+            y *= np.uint32(2654435761)
+            y ^= y >> np.uint32(15)
+            x ^= y
+            x *= np.uint32(2246822519)
             x ^= x >> np.uint32(16)
         v = x.astype(np.float32) / np.float32(2 ** 31) - np.float32(1.0)  # [-1, 1)
         norms = np.linalg.norm(v, axis=1, keepdims=True)

@@ -1,11 +1,16 @@
-"""Unit tests for the vectorized stub embedder and snapshot-store scratch."""
+"""Unit tests for the vectorized stub embedder, the provider retry ladder,
+and snapshot-store scratch."""
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
+import pytest
 
 from crawler_spark.functions.embed import (
     EMBED_DIM,
+    embed_with_provider,
     stub_embedding,
     stub_embedding_batch,
 )
@@ -46,6 +51,94 @@ def test_binary_packing_roundtrip():
     blob = vec.astype("<f4").tobytes()
     assert len(blob) == EMBED_DIM * 4
     assert np.array_equal(np.frombuffer(blob, dtype="<f4"), vec)
+
+
+def test_stub_seed_wider_than_32_bits():
+    """Two texts whose sha256 agrees on the first 4 bytes must still embed
+    differently (the old 4-byte seed collapsed them byte-identically)."""
+    seen: dict[bytes, str] = {}
+    pair = None
+    i = 0
+    while pair is None:
+        t = f"collision probe {i}"
+        p = hashlib.sha256(t.encode()).digest()[:4]
+        if p in seen:
+            pair = (seen[p], t)
+        seen[p] = t
+        i += 1
+    a, b = stub_embedding_batch(list(pair), dim=64)
+    assert not np.array_equal(a, b), f"colliding pair {pair} embeds identically"
+
+
+class FakeProvider:
+    """Scripted provider: pops one behavior per call.
+
+    Behaviors: "ok" (hash-deterministic vectors), "429" (rate limit error),
+    "token" (token-limit error), "boom" (unrelated error).
+    """
+
+    def __init__(self, script, dim=8):
+        self.script = list(script)
+        self.dim = dim
+        self.calls = []  # list of batch sizes
+
+    def __call__(self, texts):
+        self.calls.append(len(texts))
+        action = self.script.pop(0) if self.script else "ok"
+        if action == "429":
+            raise Exception("429: RateLimitReached, slow down")
+        if action == "token":
+            raise Exception("This model's maximum context length is 8192 tokens")
+        if action == "boom":
+            raise Exception("connection reset by peer")
+        return [[float(len(t) + d) for d in range(self.dim)] for t in texts]
+
+
+def test_provider_rate_limit_backoff_sequence():
+    sleeps = []
+    p = FakeProvider(["429", "429", "429", "ok"])
+    out = embed_with_provider(p, ["a", "bb"], sleep=sleeps.append, dim=8)
+    # reference azure_oai_embedding.py:76: wait = 2^(retry+1) → 2, 4, 8
+    assert sleeps == [2, 4, 8]
+    assert out.shape == (2, 8)
+    assert out[0, 0] == 1.0 and out[1, 0] == 2.0
+
+
+def test_provider_rate_limit_exhaustion_raises():
+    p = FakeProvider(["429"] * 20)
+    with pytest.raises(RuntimeError, match="Rate limit exceeded after 8 retries"):
+        embed_with_provider(p, ["a"], sleep=lambda s: None, dim=8)
+    assert p.calls == [1] * 9  # initial + 8 retries
+
+
+def test_provider_token_limit_binary_split():
+    # batch of 4 too big → halves of 2 → first half too big again → singles
+    p = FakeProvider(["token", "token", "ok", "ok", "ok"])
+    out = embed_with_provider(p, ["a", "bb", "ccc", "dddd"], sleep=lambda s: None, dim=8)
+    assert p.calls == [4, 2, 1, 1, 2]
+    assert [v[0] for v in out] == [1.0, 2.0, 3.0, 4.0]
+
+
+def test_provider_oversize_single_item_zero_vector():
+    p = FakeProvider(["token"])
+    out = embed_with_provider(p, ["way too big"], sleep=lambda s: None, dim=8)
+    assert np.all(out[0] == 0.0)
+
+
+def test_provider_unrelated_error_raises():
+    p = FakeProvider(["boom"])
+    with pytest.raises(RuntimeError, match="Error generating batch embeddings"):
+        embed_with_provider(p, ["a"], sleep=lambda s: None, dim=8)
+
+
+def test_provider_batching_and_none_handling():
+    p = FakeProvider([])
+    out = embed_with_provider(p, ["a", None, ""] + ["x"] * 120,
+                              batch_size=50, sleep=lambda s: None, dim=8)
+    # None/empty skip the provider entirely and come back as zero vectors
+    assert np.all(out[1] == 0.0) and np.all(out[2] == 0.0)
+    assert sum(p.calls) == 121 and max(p.calls) <= 50
+    assert out.shape == (123, 8)
 
 
 def test_store_materialize_pins_data(spark, tmp_path):
