@@ -4,7 +4,9 @@ The rule requires ≥0.8 throughput scaling efficiency between a cluster of N
 and one of 4N executors. No real cluster exists in this sandbox, so (per the
 documented protocol in BASELINE.md) we run the *identical* crawl job on the
 *identical* deterministic synthetic input at two parallelism levels —
-``local[8]`` and ``local[32]`` — each in a fresh JVM via a ``python bench.py
+``local[N]`` and ``local[4N]``, default N=1 (i.e. local[1] vs local[4] — the
+host's stable region, see the N comment below; override with
+SPARK_GRAFT_SCALING_N) — each in a fresh JVM via a ``python bench.py
 --crawl-only`` subprocess, and report
 
     efficiency = urls_per_sec(4N) / (4 × urls_per_sec(N))
@@ -42,12 +44,13 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #: on a real cluster, where the driver is a separate node.
 SCALE = os.environ.get("SPARK_GRAFT_CRAWL_SCALE", "320,20,400,160")
 REPS = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "2"))
-#: parallelism pair. 2 vs 8 rather than 8 vs 32: measured on this sandbox VM,
-#: (a) aggregate memory bandwidth saturates (some windows: degrades) beyond
-#: ~8 processes, and (b) 32-thread runs suffer erratic 2-3× slowdowns from
-#: hypervisor neighbor contention (same config measured 74 s and 195 s
-#: minutes apart, GC pauses <3 s in both). Both chosen levels sit in the
-#: host's stable region, so the ratio reflects the engine, not the landlord.
+#: parallelism pair: default local[1] vs local[4] rather than 8-vs-32.
+#: Measured on this sandbox VM, (a) aggregate memory bandwidth saturates
+#: (some windows: degrades) beyond ~8 processes, and (b) 32-thread runs
+#: suffer erratic 2-3× slowdowns from hypervisor neighbor contention (same
+#: config measured 74 s and 195 s minutes apart, GC pauses <3 s in both).
+#: The 1→4 pair sits in the host's stable region, so the ratio reflects the
+#: engine, not the landlord.
 N = int(os.environ.get("SPARK_GRAFT_SCALING_N", "1"))
 FOUR_N = 4 * N
 

@@ -33,6 +33,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+#: rough bench working set: corpus + snapshots + shuffle at the largest sf
+_EXPECTED_SCRATCH_BYTES = 12 * 1024**3
+
+
 def bench_tmp_root() -> str | None:
     """Fast scratch root for bench state (corpus, snapshots, shuffle).
 
@@ -40,13 +44,18 @@ def bench_tmp_root() -> str | None:
     disk's async writeback bleeds into subsequent timings (load-average
     spikes with no runnable processes). A real cluster writes state to
     distributed storage whose bandwidth scales with executors, so the bench
-    uses tmpfs when present to measure the engine, not the sandbox disk.
-    Override with SPARK_GRAFT_TMP; set it to e.g. /tmp to force disk.
+    uses tmpfs when present — and large enough — to measure the engine, not
+    the sandbox disk. Hosts with a small tmpfs fall back to disk instead of
+    dying on ENOSPC. Override with SPARK_GRAFT_TMP (e.g. /tmp forces disk).
     """
     env = os.environ.get("SPARK_GRAFT_TMP")
     if env:
         return env
-    return "/dev/shm" if os.path.isdir("/dev/shm") else None
+    if os.path.isdir("/dev/shm"):
+        free = shutil.disk_usage("/dev/shm").free
+        if free >= _EXPECTED_SCRATCH_BYTES:
+            return "/dev/shm"
+    return None
 
 #: headline catalog queries (names from crawler_spark.plans.queries.CATALOG);
 #: chosen to cover scan-agg, shuffle joins, windows, dedup, ANN and text ops.
@@ -114,37 +123,39 @@ def run_crawl_bench(spark, sf_tag: str, cores: int) -> dict:
     )
     # materialize the corpus once so generation cost is not billed to the crawl
     tmp = tempfile.mkdtemp(prefix="crawl_bench_", dir=bench_tmp_root())
-    corpus_path = f"{tmp}/pages"
-    pages.write.mode("overwrite").parquet(corpus_path)
-    pages = spark.read.parquet(corpus_path)
-    seeds = seeds_df(spark, n_sites)
+    try:
+        corpus_path = f"{tmp}/pages"
+        pages.write.mode("overwrite").parquet(corpus_path)
+        pages = spark.read.parquet(corpus_path)
+        seeds = seeds_df(spark, n_sites)
 
-    cfg = CrawlConfig(
-        num_partitions=max(cores, 8),
-        per_host_budget=max(chunks, hot),
-        salt_buckets=16,
-        collect_stats=False,
-    )
-    engine = CrawlEngine(spark, SnapshotStore(f"{tmp}/state"), pages, cfg)
-    engine.bootstrap(seeds)
-    t0 = time.time()
-    reports = engine.run()
-    wall = time.time() - t0
+        cfg = CrawlConfig(
+            num_partitions=max(cores, 8),
+            per_host_budget=max(chunks, hot),
+            salt_buckets=16,
+            collect_stats=False,
+        )
+        engine = CrawlEngine(spark, SnapshotStore(f"{tmp}/state"), pages, cfg)
+        engine.bootstrap(seeds)
+        t0 = time.time()
+        reports = engine.run()
+        wall = time.time() - t0
 
-    # totals from committed state (no per-epoch counting jobs were run)
-    from pyspark.sql import functions as F
-    fetched = engine.frontier().filter(
-        (F.col("status") == "done") & (F.col("job_type") == "process_file")).count()
-    deduped = engine.url_seen().count()
-    out = {
-        "epochs": len(reports),
-        "files_fetched": fetched,
-        "ids_deduped": deduped,
-        "wall_s": round(wall, 3),
-        "urls_per_sec": round((fetched + deduped) / wall, 1) if wall > 0 else 0.0,
-    }
-    shutil.rmtree(tmp, ignore_errors=True)
-    return out
+        # totals from committed state (no per-epoch counting jobs were run)
+        from pyspark.sql import functions as F
+        fetched = engine.frontier().filter(
+            (F.col("status") == "done") & (F.col("job_type") == "process_file")).count()
+        deduped = engine.url_seen().count()
+        return {
+            "epochs": len(reports),
+            "files_fetched": fetched,
+            "ids_deduped": deduped,
+            "wall_s": round(wall, 3),
+            "urls_per_sec": round((fetched + deduped) / wall, 1) if wall > 0 else 0.0,
+        }
+    finally:
+        # crashed/killed runs must not leak multi-GB scratch into tmpfs
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def main() -> None:
@@ -155,36 +166,37 @@ def main() -> None:
     local_dir = tempfile.mkdtemp(prefix="spark_local_", dir=bench_tmp_root())
     conf = {"spark.local.dir": local_dir}  # shuffle on fast scratch too
 
-    if "--crawl-only" in sys.argv:
-        # subprocess mode for the N-vs-4N scaling evidence (BENCH/scaling.py):
-        # fresh JVM per parallelism level, crawl throughput only
-        spark = build_session(app_name="crawler_spark_scaling", cores=CPUS, extra_conf=conf)
+    try:
+        if "--crawl-only" in sys.argv:
+            # subprocess mode for the N-vs-4N scaling evidence (BENCH/scaling.py):
+            # fresh JVM per parallelism level, crawl throughput only
+            spark = build_session(app_name="crawler_spark_scaling", cores=CPUS, extra_conf=conf)
+            spark.sparkContext.setLogLevel("ERROR")
+            crawl = run_crawl_bench(spark, sf_tag, CPUS)
+            spark.stop()
+            print(json.dumps({"crawl": crawl, "cpus": CPUS, "sf": sf_tag}))
+            return
+
+        spark = build_session(app_name="crawler_spark_bench", cores=CPUS, extra_conf=conf)
         spark.sparkContext.setLogLevel("ERROR")
+
+        timings = run_queries(spark, SF_DIR)
         crawl = run_crawl_bench(spark, sf_tag, CPUS)
+        total = round(sum(timings.values()), 3)
+
+        result = {
+            "metric": "headline query suite wall time (sum) + crawl urls/sec",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf_tag,
+            "cpus": CPUS,
+            "crawl": crawl,
+        }
         spark.stop()
+        print(json.dumps(result))
+    finally:
         shutil.rmtree(local_dir, ignore_errors=True)
-        print(json.dumps({"crawl": crawl, "cpus": CPUS, "sf": sf_tag}))
-        return
-
-    spark = build_session(app_name="crawler_spark_bench", cores=CPUS, extra_conf=conf)
-    spark.sparkContext.setLogLevel("ERROR")
-
-    timings = run_queries(spark, SF_DIR)
-    crawl = run_crawl_bench(spark, sf_tag, CPUS)
-    total = round(sum(timings.values()), 3)
-
-    result = {
-        "metric": "headline query suite wall time (sum) + crawl urls/sec",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf_tag,
-        "cpus": CPUS,
-        "crawl": crawl,
-    }
-    spark.stop()
-    shutil.rmtree(local_dir, ignore_errors=True)
-    print(json.dumps(result))
 
 
 if __name__ == "__main__":

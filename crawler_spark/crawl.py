@@ -33,7 +33,12 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from crawler_spark.functions.canonical import doc_key_expr, host_from_url_expr, host_hash_expr
+from crawler_spark.functions.canonical import (
+    doc_bucket_expr,
+    doc_key_expr,
+    host_from_url_expr,
+    host_hash_expr,
+)
 from crawler_spark.functions.embed import embed_binary_udf
 from crawler_spark.functions.extract import EXTRACTED_SCHEMA, explode_jsonld
 from crawler_spark.functions.sitemap import (
@@ -110,8 +115,10 @@ class CrawlEngine:
         empty_seen = self.spark.createDataFrame([], URL_SEEN)
         versions = {
             "seeds": self.store.write(seeds, "seeds"),
-            "frontier": self.store.write(empty_frontier, "frontier"),
-            "url_seen": self.store.write(empty_seen, "url_seen"),
+            # frontier/url_seen are bucket-versioned on host_hash: epochs
+            # replace only the buckets they touch (see SnapshotStore)
+            "frontier": self.store.replace_buckets(empty_frontier, "frontier", touched=[]),
+            "url_seen": self.store.replace_buckets(empty_seen, "url_seen", touched=[]),
         }
         self.store.commit(epoch=-1, table_versions=versions)
 
@@ -208,11 +215,19 @@ class CrawlEngine:
         # a file can reappear later: drop superseded removal jobs for re-added files
         updated = updated.unionByName(new_rows).unionByName(removal_jobs)
 
+        # the diff output is small (changed rows only) — cache it so the
+        # touched-bucket collect, the counts, and the write share one pass
+        new_rows.cache(); removal_jobs.cache(); removed_rows.cache()
+        touched = [int(r[0]) for r in (
+            new_rows.select("host_hash")
+            .unionByName(removal_jobs.select("host_hash"))
+            .unionByName(removed_rows.select("host_hash"))
+            .distinct().collect()
+        )]
         # counting costs two extra jobs; bench (collect_stats=False) derives
         # totals from committed state instead
         n_added = new_rows.count() if self.cfg.collect_stats else -1
         n_removed = removal_jobs.count() if self.cfg.collect_stats else -1
-        v = self.store.write(updated.repartition(self.cfg.num_partitions, "host_hash"), "frontier")
 
         # stamp last_processed on discovered seeds (scheduler.py:21-30 analogue)
         seeds_df = self.store.read(self.spark, "seeds")
@@ -225,11 +240,138 @@ class CrawlEngine:
             )
             .drop("_hit")
         )
-        sv = self.store.write(stamped, "seeds")
-        rv = self.store.write(self._robots_state, "robots")
+        # three independent sinks over already-pinned inputs → one concurrent round
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            f_frontier = pool.submit(self.store.replace_buckets, updated, "frontier", touched)
+            f_seeds = pool.submit(self.store.write, stamped, "seeds")
+            f_robots = pool.submit(self.store.write, self._robots_state, "robots")
+            v, sv, rv = f_frontier.result(), f_seeds.result(), f_robots.result()
+        for df in (new_rows, removal_jobs, removed_rows):
+            df.unpersist()
         self.store.commit(epoch, {"frontier": v, "seeds": sv, "robots": rv},
                           lineage_row={"stage": "discover", "added": n_added, "removed": n_removed})
         return n_added, n_removed
+
+    def error_history(self, file_url: str | None = None, n: int = 50) -> DataFrame:
+        """Newest ``n`` processing-error rows, optionally for one file —
+        reference ``get_file_errors`` (db.py:150-159, TOP 50 newest-first).
+        Planned as TakeOrderedAndProject — no full sort at any scale."""
+        from crawler_spark.schema import PROCESSING_ERRORS
+
+        if not self.store.exists("errors"):
+            return self.spark.createDataFrame([], PROCESSING_ERRORS)
+        errors = self.store.read(self.spark, "errors")
+        if file_url is not None:
+            errors = errors.filter(F.col("file_url") == file_url)
+        return errors.orderBy(
+            F.desc("occurred_at"), F.desc("epoch"), F.asc("file_url"),
+            F.asc("error_type")).limit(n)
+
+    # ------------------------------------------------------------------
+    # manual file management + site teardown (reference api.py:315-446)
+    # ------------------------------------------------------------------
+
+    def add_manual_files(self, files: DataFrame, epoch: int) -> None:
+        """Add files outside the sitemap diff (reference api.py:385-415,
+        db.py:376-390 ``add_manual_schema_file``, ``add_test_files.py:15-63``).
+
+        ``files``: (site_url, user_id, file_url, schema_map). Existing
+        frontier rows are reactivated with ``is_manual=1`` and re-queued;
+        unknown files become new pending manual rows. Manual rows are exempt
+        from discovery-diff removal (see ``diff_discovery``).
+        """
+        keyed = files.select("site_url", "user_id", "file_url", "schema_map")
+        frontier_df = self.frontier()
+        upd = keyed.select(
+            "file_url", "user_id", F.col("schema_map").alias("_new_map")
+        ).withColumn("_m", F.lit(True))
+        hit = F.col("_m") & (F.col("job_type") == "process_file")
+        reactivated = (
+            frontier_df.join(upd, ["file_url", "user_id"], "left")
+            .withColumn("is_active", F.when(hit, F.lit(True)).otherwise(F.col("is_active")))
+            .withColumn("is_manual", F.when(hit, F.lit(True)).otherwise(F.col("is_manual")))
+            .withColumn("status", F.when(hit, F.lit("pending")).otherwise(F.col("status")))
+            .withColumn("retries", F.when(hit, F.lit(0)).otherwise(F.col("retries")))
+            .withColumn("schema_map", F.when(hit, F.col("_new_map")).otherwise(F.col("schema_map")))
+            .drop("_m", "_new_map")
+        )
+        fresh = keyed.join(
+            frontier_df.filter(F.col("job_type") == "process_file"),
+            ["file_url", "user_id"], "left_anti")
+        new_rows = fr.as_frontier_rows(
+            fresh, epoch, self.cfg.num_partitions, is_manual=True)
+        updated = reactivated.unionByName(new_rows)
+        touched = [int(r[0]) for r in keyed.select(
+            host_hash_expr(host_from_url_expr(F.col("file_url")),
+                           self.cfg.num_partitions)).distinct().collect()]
+        v = self.store.replace_buckets(updated, "frontier", touched)
+        self.store.commit(epoch, {"frontier": v},
+                          lineage_row={"stage": "manual_add"})
+
+    def remove_manual_files(self, keys: DataFrame, epoch: int) -> None:
+        """Soft-delete files and enqueue their removal jobs (reference
+        api.py:352-383 ``_delete_schema_map_internal`` + db.py:392-398): the
+        next epoch's ``process_removed_file`` pass wipes ids and vector docs,
+        preserving the reference's ordering (ids → vector DB → files)."""
+        frontier_df = self.frontier()
+        live = (
+            frontier_df.filter(F.col("is_active") & (F.col("job_type") == "process_file"))
+            .join(keys.select("file_url", "user_id"), ["file_url", "user_id"], "left_semi")
+        )
+        removal_jobs = fr.as_frontier_rows(
+            live.select("file_url", "user_id", "site_url", "schema_map"),
+            epoch, self.cfg.num_partitions, job_type="process_removed_file")
+        updated = fr.transition(
+            frontier_df,
+            deactivated=live.select(
+                "file_url", "user_id", F.lit("process_file").alias("job_type")),
+        ).unionByName(removal_jobs)
+        live.cache()
+        touched = [int(r[0]) for r in live.select("host_hash").distinct().collect()]
+        v = self.store.replace_buckets(updated, "frontier", touched)
+        live.unpersist()
+        self.store.commit(epoch, {"frontier": v},
+                          lineage_row={"stage": "manual_remove"})
+
+    def delete_site(self, site_url: str, user_id: str, epoch: int) -> None:
+        """Hard-delete a site: its frontier rows, seen ids, exclusively-owned
+        vector docs, and its seed (reference api.py:315-351 +
+        db.py:350-375 ``remove_site`` — ids first, then files, then the site;
+        vector docs of ids whose last reference lived here are deleted, the
+        J8 semi-delete done site-wide)."""
+        site_pred = (F.col("site_url") == site_url) & (F.col("user_id") == user_id)
+        frontier_df = self.frontier()
+        victim_rows = frontier_df.filter(site_pred).cache()
+        site_files = victim_rows.select("file_url", "user_id").distinct()
+        touched = [int(r[0]) for r in victim_rows.select("host_hash").distinct().collect()]
+
+        seen_df = self.url_seen()
+        doomed = seen_df.join(site_files, ["file_url", "user_id"], "left_semi").cache()
+        seen_after = seen_df.join(site_files, ["file_url", "user_id"], "left_anti")
+        orphans = seen.orphaned_ids(
+            doomed.select("file_url", "user_id", "id"), seen_after).cache()
+        orphan_keys = orphans.select(doc_key_expr(F.col("id")).alias("id"))
+        touched_docs = [int(r[0]) for r in orphans.select(
+            doc_bucket_expr(F.col("id"), self.cfg.num_partitions)).distinct().collect()]
+
+        frontier_after = frontier_df.filter(~site_pred)
+        seeds_after = self.store.read(self.spark, "seeds").filter(~site_pred)
+
+        versions = {
+            "url_seen": self.store.replace_buckets(seen_after, "url_seen", touched),
+            "frontier": self.store.replace_buckets(frontier_after, "frontier", touched),
+            "seeds": self.store.write(seeds_after, "seeds"),
+        }
+        if self.store.exists("documents"):
+            docs_after = self.documents().join(orphan_keys, "id", "left_anti")
+            versions["documents"] = self.store.replace_buckets(
+                docs_after, "documents", touched_docs, bucket_col="bucket")
+        for df in (victim_rows, doomed, orphans):
+            df.unpersist()
+        self.store.commit(epoch, versions,
+                          lineage_row={"stage": "delete_site", "site_url": site_url})
 
     # ------------------------------------------------------------------
     # one epoch of the hot path (lifecycle 3.2)
@@ -256,7 +398,12 @@ class CrawlEngine:
         )
         selected = politeness.salted_repartition(selected, cfg.num_partitions, cfg.salt_buckets)
         selected.cache()
-        rep.selected = selected.count()
+        # ONE job yields both the termination count and the epoch's touched
+        # host buckets (every frontier/url_seen mutation this epoch lives in
+        # a selected row's bucket — the bucket-replace write set)
+        host_counts = selected.groupBy("host_hash").count().collect()
+        rep.selected = sum(r["count"] for r in host_counts)
+        touched = sorted(int(r["host_hash"]) for r in host_counts)
         if rep.selected == 0:
             selected.unpersist()
             rep.wall_s = _time.time() - t0
@@ -302,15 +449,18 @@ class CrawlEngine:
             F.max("num_ids").alias("num_ids"),
             F.first("partition_id").alias("partition_id"),
             F.max("content_length").alias("content_length"),
+            F.max("error").alias("extract_error"),
         )
 
         # --- seen-set maintenance (J3/J4 + A1), incl. removed-file wipes ---
-        seen_df = self.url_seen()
+        # per-file diffs live entirely in the touched host buckets: read ONLY
+        # those (explicit path pruning — O(touched), not O(seen-set))
+        seen_touched = self.store.read_buckets(self.spark, "url_seen", only=touched)
         processed_keys = (
             ok.select("file_url", "user_id")
             .unionByName(removal_jobs.select("file_url", "user_id"))
         )
-        existing = seen_df.join(processed_keys, ["file_url", "user_id"], "left_semi")
+        existing = seen_touched.join(processed_keys, ["file_url", "user_id"], "left_semi")
 
         ext_ids = extracted.select(
             "file_url", "user_id", "id", "queued_at",
@@ -326,17 +476,35 @@ class CrawlEngine:
             rep.ids_added = added.count()
             rep.ids_removed = removed.count()
 
-        seen_after = (
-            seen_df.join(removed, ["file_url", "user_id", "id"], "left_anti")
+        # new content of the touched url_seen buckets (other buckets: zero I/O)
+        seen_content = (
+            seen_touched.join(removed, ["file_url", "user_id", "id"], "left_anti")
             .unionByName(added.select("file_url", "user_id", "id", "host_hash"))
         )
 
         # --- ref-count gates (A1) BEFORE the expensive embed stage ---
-        firsts = seen.first_occurrences(added, seen_df.select("id", "user_id").distinct())
-        orphans = seen.orphaned_ids(removed, seen_after)
+        # id-keyed semantics are global (an id's other references may live in
+        # any host bucket), so these two gates read the whole seen set
+        seen_global = self.url_seen()
+        seen_after_global = (
+            seen_global.join(removed, ["file_url", "user_id", "id"], "left_anti")
+            .unionByName(added.select("file_url", "user_id", "id", "host_hash"))
+        )
+        firsts = seen.first_occurrences(added, seen_global.select("id", "user_id").distinct())
+        orphans = seen.orphaned_ids(removed, seen_after_global)
+        firsts.cache(); orphans.cache()
 
-        docs = self.documents()
         if cfg.embed_documents:
+            # touched doc buckets come from firsts/orphans (pre-embed, cached
+            # + cheap) — never from the embed output, which must run once
+            orphan_keys = orphans.select(doc_key_expr(F.col("id")).alias("id"))
+            doc_touch = (
+                firsts.select(F.col("id").alias("k"))
+                .unionByName(orphans.select(F.col("id").alias("k")))
+                .select(doc_bucket_expr(F.col("k"), cfg.num_partitions).alias("b"))
+                .distinct().collect()
+            )
+            touched_docs = sorted(int(r["b"]) for r in doc_touch)
             new_docs = (
                 firsts.join(
                     extracted.select("file_url", "user_id", "id", "obj_json",
@@ -354,6 +522,7 @@ class CrawlEngine:
                 # expensive stage of the pipeline runs in a handful of tasks
                 .repartition(cfg.num_partitions * 2)
                 .select(
+                    doc_bucket_expr(F.col("id"), cfg.num_partitions).alias("bucket"),
                     doc_key_expr(F.col("id")).alias("id"),
                     F.col("id").alias("url"),
                     F.col("site_url").alias("site"),
@@ -364,13 +533,18 @@ class CrawlEngine:
                     embed_binary_udf(F.col("essential_text")).alias("embedding"),
                 )
             )
-            surviving = docs.join(
-                orphans.select(doc_key_expr(F.col("id")).alias("id")), "id", "left_anti"
+            # only the touched doc buckets are read back and rewritten —
+            # untouched embedding bytes (the table's mass) are never moved
+            docs_touched_old = (
+                self.store.read_buckets(self.spark, "documents", only=touched_docs)
+                if self.store.exists("documents") else self.documents()
             )
-            docs_after = surviving.unionByName(new_docs)
+            docs_content = (
+                docs_touched_old.join(orphan_keys, "id", "left_anti")
+                .unionByName(new_docs)
+            )
         else:
-            docs_after = docs
-            new_docs = None
+            docs_content, touched_docs = None, []
 
         # --- frontier transitions + metrics ---
         # per_file covers every fetched-ok file (zero-object files included
@@ -391,6 +565,8 @@ class CrawlEngine:
             epoch=epoch,
         )
 
+        fetch_err_msg = F.concat(
+            F.lit("HTTP 404: "), F.col("file_url"), F.lit(" not available in source"))
         metrics = (
             per_file.select(
                 F.lit(epoch).alias("epoch"),
@@ -399,7 +575,7 @@ class CrawlEngine:
                 F.lit(200).alias("status_code"),
                 F.col("content_length"),
                 F.col("num_ids").cast("int").alias("num_ids_extracted"),
-                F.lit(None).cast("string").alias("error"),
+                F.col("extract_error").alias("error"),
                 F.lit(fr.epoch_ts(epoch)).cast("timestamp").alias("ts"),
             )
             .unionByName(
@@ -410,37 +586,82 @@ class CrawlEngine:
                     F.lit(404).alias("status_code"),
                     F.lit(None).cast("long").alias("content_length"),
                     F.lit(0).alias("num_ids_extracted"),
-                    F.lit("fetch failed").alias("error"),
+                    fetch_err_msg.alias("error"),
                     F.lit(fr.epoch_ts(epoch)).cast("timestamp").alias("ts"),
                 )
             )
         )
+
+        # --- processing_errors analogue (db.py:126-168): real messages,
+        # cleared for files that processed cleanly this epoch ---
+        ts_lit = F.lit(fr.epoch_ts(epoch)).cast("timestamp")
+        new_errors = (
+            failed.select(
+                "file_url", "user_id",
+                F.lit("fetch_error").alias("error_type"),
+                fetch_err_msg.alias("error_message"),
+                F.lit(None).cast("string").alias("error_details"),
+                ts_lit.alias("occurred_at"),
+                F.lit(epoch).alias("epoch"),
+            )
+            .unionByName(
+                per_file.filter(F.col("extract_error").isNotNull()).select(
+                    "file_url", "user_id",
+                    F.lit("extract_error").alias("error_type"),
+                    F.col("extract_error").alias("error_message"),
+                    F.lit(None).cast("string").alias("error_details"),
+                    ts_lit.alias("occurred_at"),
+                    F.lit(epoch).alias("epoch"),
+                )
+            )
+        )
+        succeeded = per_file.filter(F.col("extract_error").isNull()).select(
+            "file_url", "user_id")
+        from crawler_spark.schema import PROCESSING_ERRORS
+
+        prev_errors = (
+            self.store.read(self.spark, "errors")
+            if self.store.exists("errors")
+            else self.spark.createDataFrame([], PROCESSING_ERRORS)
+        )
+        errors_after = prev_errors.join(
+            succeeded, ["file_url", "user_id"], "left_anti"
+        ).unionByName(new_errors)
 
         # --- commit ---
         docs_before = (
             self.store.read(self.spark, "documents").count()
             if cfg.collect_stats and self.store.exists("documents") else 0
         )
-        # url_seen first (its DAG materializes the added/removed caches the
-        # documents sink reuses), then the three remaining sinks concurrently
-        # from driver threads — they are independent DAGs over pinned inputs,
-        # and on a cluster there is no reason for the short frontier/metrics
-        # jobs to wait behind the long documents job.
-        versions = {
-            "url_seen": self.store.write(
-                seen_after.repartition(cfg.num_partitions, "host_hash"), "url_seen"),
-        }
+        # ALL sinks run concurrently from driver threads: the touched_docs
+        # collect above already materialized the added/removed/firsts/orphans
+        # caches every sink shares, so the five jobs are independent DAGs
+        # over pinned inputs — on a cluster the short frontier/metrics jobs
+        # never wait behind the long documents job, and the epoch's serial
+        # driver path is (select-count → extract-pin → gate-collect → sinks).
+        # Every bucket-replace write moves only this epoch's touched buckets.
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=3) as pool:
+        versions = {}
+        with ThreadPoolExecutor(max_workers=5) as pool:
+            f_seen = pool.submit(
+                self.store.replace_buckets, seen_content, "url_seen", touched)
             f_frontier = pool.submit(
-                self.store.write,
-                frontier_after.repartition(cfg.num_partitions, "host_hash"), "frontier")
-            f_docs = pool.submit(self.store.write, docs_after, "documents")
+                self.store.replace_buckets, frontier_after, "frontier", touched)
+            f_docs = (
+                pool.submit(self.store.replace_buckets, docs_content, "documents",
+                            touched_docs, "bucket")
+                if docs_content is not None else None
+            )
             # per-epoch lineage is append-only: O(1) write, unioned at read time
             f_metrics = pool.submit(self.store.append, metrics, "metrics", f"{epoch:06d}")
+            # errors table is tiny (only failing files) — O(#errors) rewrite
+            f_errors = pool.submit(self.store.write, errors_after, "errors")
+            versions["url_seen"] = f_seen.result()
             versions["frontier"] = f_frontier.result()
-            versions["documents"] = f_docs.result()
+            if f_docs is not None:
+                versions["documents"] = f_docs.result()
+            versions["errors"] = f_errors.result()
             f_metrics.result()
 
         if cfg.collect_stats:
@@ -449,13 +670,17 @@ class CrawlEngine:
             # parquet footer count of the snapshot just written — never
             # re-runs the embed stage
             self.store.commit(epoch, versions, lineage_row=None)  # visibility for the read below
-            rep.docs_added = self.store.read(self.spark, "documents").count() - docs_before
+            docs_now = (
+                self.store.read(self.spark, "documents").count()
+                if self.store.exists("documents") else 0
+            )
+            rep.docs_added = docs_now - docs_before
         self.store.commit(epoch, versions, lineage_row={
             "stage": "epoch", "selected": rep.selected, "fetched_ok": rep.fetched_ok,
             "ids_added": rep.ids_added, "ids_removed": rep.ids_removed,
         })
 
-        for df in (selected, fetched, added, removed):
+        for df in (selected, fetched, added, removed, firsts, orphans):
             df.unpersist()
         rep.wall_s = _time.time() - t0
         return rep

@@ -107,6 +107,19 @@ def doc_key_expr(url_col: Column) -> Column:
     return F.substring(F.sha2(url_col, 256), 1, 32)
 
 
+def doc_bucket_expr(id_url_col: Column, num_buckets: int) -> Column:
+    """Bucket of a vector document = host bucket of its own ``@id`` URL.
+
+    The documents table is bucket-versioned on this (see
+    ``SnapshotStore.replace_buckets``). Host-of-id — NOT a hash of the doc
+    key — gives the layout write locality: an epoch's new docs and orphan
+    deletes both belong to the hosts being crawled, so the epoch rewrites a
+    few host buckets instead of scattering one row into every bucket of the
+    table (which would degenerate bucket-replace into a full rewrite).
+    """
+    return host_hash_expr(host_from_url_expr(id_url_col), num_buckets)
+
+
 def host_hash_expr(host_col: Column, num_partitions: int) -> Column:
     """murmur3(host) mod P — the frontier partition key (north_rule).
 

@@ -60,15 +60,33 @@ def extract_ids_and_objects(payload: Any) -> tuple[list[str], list[dict]]:
     return [o["@id"] for o in objects], objects
 
 
-def extract_from_bytes(body: bytes | str | None) -> tuple[list[str], list[dict]]:
-    """Parse a fetched body and extract ids/objects; parse errors → empty."""
+def extract_with_error(
+    body: bytes | str | None,
+) -> tuple[list[str], list[dict], str | None]:
+    """Parse a fetched body; returns (ids, objects, error_message).
+
+    Parse failures yield no objects plus the real error string — the
+    ``processing_errors`` analogue (reference db.py:141-148) records it
+    instead of a constant placeholder.
+    """
     if body is None:
-        return [], []
+        return [], [], "empty body"
     try:
         text = body.decode("utf-8") if isinstance(body, (bytes, bytearray)) else body
-        return extract_ids_and_objects(json.loads(text))
-    except (ValueError, UnicodeDecodeError):
-        return [], []
+    except UnicodeDecodeError as e:
+        return [], [], f"UnicodeDecodeError: {e}"
+    try:
+        payload = json.loads(text)
+    except ValueError as e:
+        return [], [], f"JSONDecodeError: {e}"
+    ids, objects = extract_ids_and_objects(payload)
+    return ids, objects, None
+
+
+def extract_from_bytes(body: bytes | str | None) -> tuple[list[str], list[dict]]:
+    """Parse a fetched body and extract ids/objects; parse errors → empty."""
+    ids, objects, _ = extract_with_error(body)
+    return ids, objects
 
 
 # ---------------------------------------------------------------------------
@@ -209,7 +227,8 @@ def type_list(type_tag: Any) -> list[str]:
 #: output schema of :func:`explode_jsonld` — one row per extracted object.
 EXTRACTED_SCHEMA = (
     "file_url string, id string, obj_json string, types string, "
-    "type_list array<string>, essential_text string, position int, num_ids int"
+    "type_list array<string>, essential_text string, position int, num_ids int, "
+    "error string"
 )
 
 
@@ -227,9 +246,10 @@ def explode_jsonld(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         out: dict[str, list] = {
             "file_url": [], "id": [], "obj_json": [], "types": [],
             "type_list": [], "essential_text": [], "position": [], "num_ids": [],
+            "error": [],
         }
         for file_url, body in zip(pdf["file_url"], pdf["body"]):
-            ids, objects = extract_from_bytes(body)
+            ids, objects, error = extract_with_error(body)
             n = len(ids)
             if n == 0:
                 out["file_url"].append(file_url)
@@ -240,6 +260,7 @@ def explode_jsonld(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 out["essential_text"].append(None)
                 out["position"].append(0)
                 out["num_ids"].append(0)
+                out["error"].append(error)
                 continue
             for pos, (oid, obj) in enumerate(zip(ids, objects)):
                 out["file_url"].append(file_url)
@@ -250,4 +271,5 @@ def explode_jsonld(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 out["essential_text"].append(extract_essential_fields(obj))
                 out["position"].append(pos)
                 out["num_ids"].append(n)
+                out["error"].append(None)
         yield pd.DataFrame(out)

@@ -45,9 +45,11 @@ def as_frontier_rows(
     num_partitions: int,
     job_type: str = "process_file",
     depth: int = 1,
+    is_manual: bool = False,
 ) -> DataFrame:
     """Decorate discovered (site_url, user_id, schema_map, file_url) rows into
-    full frontier rows (status=pending)."""
+    full frontier rows (status=pending). ``is_manual`` marks rows added by the
+    manual add API (db.py:376-390) — exempt from discovery-diff removal."""
     host = host_from_url_expr(F.col("file_url"))
     return (
         candidates
@@ -60,7 +62,7 @@ def as_frontier_rows(
         .withColumn("host_hash", host_hash_expr(F.col("host"), num_partitions))
         .withColumn("queued_at", F.lit(epoch_ts(epoch)))
         .withColumn("epoch", F.lit(epoch))
-        .withColumn("is_manual", F.lit(False))
+        .withColumn("is_manual", F.lit(is_manual))
         .withColumn("is_active", F.lit(True))
         .withColumn("last_read_time", F.lit(None).cast("timestamp"))
         .withColumn("number_of_items", F.lit(None).cast("int"))
@@ -74,12 +76,18 @@ def diff_discovery(
 
     ``candidates``: (site_url, user_id, schema_map, file_url) fresh from
     sitemaps. ``removed_files``: live process_file rows of *re-discovered*
-    sites whose URL vanished from the new sitemap state.
+    sites whose URL vanished from the new sitemap state. Manual rows
+    (``is_manual``, added via :meth:`CrawlEngine.add_manual_files`) live
+    outside the sitemap diff and are never removal candidates here — only
+    the explicit manual-remove / site-delete APIs retire them.
     """
     file_key = ["file_url", "user_id"]
     live = frontier.filter(F.col("is_active") & (F.col("job_type") == "process_file"))
     added = candidates.join(live, file_key, "left_anti")
-    in_scope = live.join(F.broadcast(discovered_sites), ["site_url", "user_id"], "left_semi")
+    in_scope = (
+        live.filter(~F.col("is_manual"))
+        .join(F.broadcast(discovered_sites), ["site_url", "user_id"], "left_semi")
+    )
     removed = in_scope.join(candidates, file_key, "left_anti")
     return added, removed
 

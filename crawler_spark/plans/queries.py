@@ -1283,6 +1283,28 @@ FROM events ORDER BY ts DESC, event_id DESC LIMIT 1000
 """
 
 
+def q_error_history_topk(spark, sf_dir):
+    """processing_errors history top-k (reference db.py:150-159): newest 3
+    error rows per key, newest-first — filter pushed to the scan, then one
+    window per key (no global sort; the per-key top-k is rank-pruned)."""
+    events = _t(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        events.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("user_id", "rnk", "event_id", "ts", "props")
+    )
+
+
+SQL_ERROR_HISTORY = """
+SELECT user_id, rnk, event_id, ts, props FROM (
+  SELECT user_id, event_id, ts, props,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rnk
+  FROM events WHERE event_type = 'error'
+) WHERE rnk <= 3
+"""
+
+
 def q_lookup_join(spark, sf_dir):
     """J5 — id→object lookup as a broadcast hash join (replaces the
     reference's O(n·m) nested loop at worker.py:219), rolled up per brand."""
@@ -1324,6 +1346,7 @@ CATALOG: dict[str, tuple[Query, str | None]] = {
     "crawl_order_fifo": (q_crawl_order, SQL_CRAWL_ORDER),
     "union_distinct": (q_union_distinct, SQL_UNION_DISTINCT),
     "log_tail": (q_log_tail, SQL_LOG_TAIL),
+    "error_history_topk": (q_error_history_topk, SQL_ERROR_HISTORY),
     "lookup_join": (q_lookup_join, SQL_LOOKUP_JOIN),
     # scalar functions
     "canonical_urls": (q_canonical_urls, SQL_CANONICAL),

@@ -73,6 +73,7 @@ URL_SEEN = StructType([
 
 #: vector-index documents (reference vector_db.py:198-224 / _prepare_document)
 DOCUMENTS = StructType([
+    StructField("bucket", IntegerType(), True),      # id-hash bucket (partition-level replace)
     StructField("id", StringType(), False),          # sha256(url)[:32]
     StructField("url", StringType(), False),         # the @id
     StructField("site", StringType(), True),
@@ -95,6 +96,18 @@ METRICS = StructType([
     StructField("num_ids_extracted", IntegerType(), True),
     StructField("error", StringType(), True),
     StructField("ts", TimestampType(), True),
+])
+
+#: per-file error history — reference processing_errors (db.py:126-137);
+#: cleared for a file when it later processes successfully (db.py:161-168)
+PROCESSING_ERRORS = StructType([
+    StructField("file_url", StringType(), False),
+    StructField("user_id", StringType(), False),
+    StructField("error_type", StringType(), False),   # fetch_error | extract_error
+    StructField("error_message", StringType(), True),
+    StructField("error_details", StringType(), True),
+    StructField("occurred_at", TimestampType(), True),
+    StructField("epoch", IntegerType(), True),
 ])
 
 #: robots/politeness broadcast state (north_rule)

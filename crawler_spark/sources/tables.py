@@ -32,6 +32,8 @@ import time
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 
 class SnapshotStore:
@@ -61,7 +63,10 @@ class SnapshotStore:
         """Atomically advance the store to ``epoch`` (os.replace = atomic)."""
         manifest = self.read_manifest()
         manifest["epoch"] = epoch
-        manifest["tables"].update({k: int(v) for k, v in table_versions.items()})
+        manifest["tables"].update({
+            k: v if isinstance(v, dict) else int(v)
+            for k, v in table_versions.items()
+        })
         if lineage_row is not None:
             manifest.setdefault("lineage", []).append({"epoch": epoch, **lineage_row})
         tmp = self._manifest_path.with_suffix(".json.tmp")
@@ -75,16 +80,18 @@ class SnapshotStore:
 
     def current_version(self, name: str) -> int | None:
         v = self.read_manifest()["tables"].get(name)
-        return None if v is None else int(v)
+        return None if v is None or isinstance(v, dict) else int(v)
 
     def exists(self, name: str) -> bool:
-        return self.current_version(name) is not None
+        return self.read_manifest()["tables"].get(name) is not None
 
     def read(self, spark: SparkSession, name: str) -> DataFrame:
-        version = self.current_version(name)
+        version = self.read_manifest()["tables"].get(name)
         if version is None:
             raise FileNotFoundError(f"table {name!r} has no committed snapshot")
-        return spark.read.parquet(str(self._table_dir(name, version)))
+        if isinstance(version, dict):  # bucketed table
+            return self.read_buckets(spark, name)
+        return spark.read.parquet(str(self._table_dir(name, int(version))))
 
     def write(self, df: DataFrame, name: str, partition_by: list[str] | None = None) -> int:
         """Write the next snapshot of ``name``; returns the new version.
@@ -101,6 +108,108 @@ class SnapshotStore:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(str(target))
         return version
+
+    # -- bucketed tables: partition-level replace -----------------------------
+    #
+    # The reference updates state with per-row MERGE (db.py:205-213). The
+    # scale-safe snapshot equivalent is *bucket-level* replace: each table is
+    # a set of hash buckets (host_hash for crawl state, an id-hash for
+    # documents), each bucket independently versioned in the manifest. An
+    # epoch that touches 1% of hosts writes ~1% of the table's bytes instead
+    # of a full rewrite, and reads of untouched buckets are skipped entirely
+    # (the epoch passes an explicit bucket list — physical partition pruning
+    # by path, no full-table listing). Same commit/rollback semantics: new
+    # bucket versions are invisible until the manifest commit lands.
+
+    def _bucket_dir(self, name: str, bucket: int, version: int) -> Path:
+        return self.root / name / f"b{bucket:05d}" / f"v{version}"
+
+    def _schema_path(self, name: str) -> Path:
+        return self.root / name / "schema.json"
+
+    def bucket_versions(self, name: str) -> dict[str, int]:
+        v = self.read_manifest()["tables"].get(name)
+        return dict(v["buckets"]) if isinstance(v, dict) else {}
+
+    def replace_buckets(
+        self,
+        df: DataFrame,
+        name: str,
+        touched: list[int],
+        bucket_col: str = "host_hash",
+    ) -> dict:
+        """Write new content for exactly the ``touched`` buckets of ``name``.
+
+        ``df`` must hold the *complete* new content of those buckets (rows of
+        other buckets are filtered out defensively). Buckets not in
+        ``touched`` keep their current version — zero I/O. Returns the
+        manifest entry to pass to :meth:`commit`; nothing is visible until
+        the commit lands. A bucket whose new content is empty gets an empty
+        version directory (deletes work without tombstones).
+        """
+        buckets = self.bucket_versions(name)
+        if not self._schema_path(name).exists():
+            self._schema_path(name).parent.mkdir(parents=True, exist_ok=True)
+            self._schema_path(name).write_text(df.schema.json())
+        if touched:
+            stage = self.root / name / f"stage-{time.time_ns()}"
+            (
+                df.filter(F.col(bucket_col).isin([int(b) for b in touched]))
+                .withColumn("_b", F.col(bucket_col))
+                .write.mode("overwrite")
+                .partitionBy("_b")
+                .parquet(str(stage))
+            )
+            for b in touched:
+                nxt = int(buckets.get(str(int(b)), -1)) + 1
+                target = self._bucket_dir(name, int(b), nxt)
+                if target.exists():  # uncommitted leftover: epoch re-run
+                    shutil.rmtree(target)
+                target.parent.mkdir(parents=True, exist_ok=True)
+                src = stage / f"_b={int(b)}"
+                if src.exists():
+                    os.replace(src, target)
+                else:
+                    target.mkdir()  # bucket emptied this epoch
+                buckets[str(int(b))] = nxt
+            shutil.rmtree(stage, ignore_errors=True)
+        return {"buckets": buckets}
+
+    def _live_bucket_paths(self, name: str, only: list[int] | None = None) -> list[str]:
+        want = None if only is None else {int(b) for b in only}
+        paths = []
+        for b, ver in self.bucket_versions(name).items():
+            if want is not None and int(b) not in want:
+                continue
+            d = self._bucket_dir(name, int(b), int(ver))
+            if any(d.glob("*.parquet")):
+                paths.append(str(d))
+        return paths
+
+    def read_buckets(
+        self, spark: SparkSession, name: str, only: list[int] | None = None
+    ) -> DataFrame:
+        """Read a bucketed table — all buckets, or just ``only`` (an epoch
+        reads exactly the buckets it crawls: O(touched), not O(table))."""
+        paths = self._live_bucket_paths(name, only)
+        if not paths:
+            schema = StructType.fromJson(json.loads(self._schema_path(name).read_text()))
+            return spark.createDataFrame([], schema)
+        return spark.read.parquet(*paths)
+
+    def table_bytes(self, name: str) -> int:
+        """Total bytes of the table's *live* snapshot files (tests use the
+        delta across an epoch to assert write amplification)."""
+        v = self.read_manifest()["tables"].get(name)
+        if isinstance(v, dict):
+            dirs = [self._bucket_dir(name, int(b), int(ver))
+                    for b, ver in v["buckets"].items()]
+        elif v is None:
+            return 0
+        else:
+            dirs = [self._table_dir(name, int(v))]
+        return sum(f.stat().st_size for d in dirs if d.exists()
+                   for f in d.rglob("*") if f.is_file())
 
     def materialize(self, spark: SparkSession, df: DataFrame, name: str) -> DataFrame:
         """Write ``df`` to a transient scratch area and read it back.
@@ -133,19 +242,28 @@ class SnapshotStore:
 
     def vacuum(self, keep_last: int = 2) -> None:
         """Drop snapshot directories older than the last ``keep_last`` per table."""
-        manifest = self.read_manifest()
-        for name, current in manifest["tables"].items():
-            table_root = self.root / name
-            if not table_root.exists():
-                continue
-            for child in table_root.iterdir():
+        def _sweep(dir_: Path, current: int) -> None:
+            for child in dir_.iterdir():
                 if child.name.startswith("v"):
                     try:
                         v = int(child.name[1:])
                     except ValueError:
                         continue
-                    if v <= int(current) - keep_last:
+                    if v <= current - keep_last:
                         shutil.rmtree(child, ignore_errors=True)
+
+        manifest = self.read_manifest()
+        for name, current in manifest["tables"].items():
+            table_root = self.root / name
+            if not table_root.exists():
+                continue
+            if isinstance(current, dict):
+                for b, ver in current["buckets"].items():
+                    bdir = table_root / f"b{int(b):05d}"
+                    if bdir.exists():
+                        _sweep(bdir, int(ver))
+            else:
+                _sweep(table_root, int(current))
 
     def destroy(self) -> None:
         shutil.rmtree(self.root, ignore_errors=True)

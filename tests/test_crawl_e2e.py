@@ -168,6 +168,191 @@ def test_dynamic_add_remove_phases(spark, tmp_path):
     assert n_ids == 0
 
 
+def test_manual_file_add_survives_discovery_and_removes_cleanly(spark, tmp_path):
+    """Mirror of the reference's add_test_files.py flow (api.py:385-446):
+    a manually-added file outside the sitemap is crawled, survives a
+    re-discovery diff (is_manual exempt), and a manual remove wipes its ids
+    and vector docs via the process_removed_file path."""
+    from crawler_spark.sources.synth import chunk_url
+
+    # site 0's sitemap lists only chunks {0,1}; chunk 2 exists but unlisted
+    pages = corpus_pages_df(
+        spark, 2, 3, items_per_chunk=ITEMS,
+        sitemap_chunks={0: [0, 1], 1: [0, 1, 2]})
+    engine = build_engine(spark, tmp_path, pages)
+    engine.bootstrap(seeds_df(spark, 2))
+    engine.run()
+
+    manual_url = chunk_url(0, 2)
+    seen, _ = engine_state(engine)
+    assert not any(f == manual_url for f, _, _ in seen)  # unlisted → not crawled
+
+    epoch = engine.store.read_manifest()["epoch"] + 1
+    manual = spark.createDataFrame(
+        [{"site_url": site_host(0), "user_id": "test:user001",
+          "file_url": manual_url, "schema_map": "manual_test"}])
+    engine.add_manual_files(manual, epoch)
+    engine.run(discover_each_epoch=True)  # re-discovery must NOT remove it
+
+    seen, docs = engine_state(engine)
+    manual_ids = {i for f, _, i in seen if f == manual_url}
+    assert len(manual_ids) == ITEMS
+    row = engine.frontier().filter(F.col("file_url") == manual_url).collect()[0]
+    assert row["is_manual"] and row["is_active"] and row["status"] == "done"
+
+    # manual remove → removal job → ids and exclusive docs wiped
+    epoch = engine.store.read_manifest()["epoch"] + 1
+    engine.remove_manual_files(
+        spark.createDataFrame([{"file_url": manual_url, "user_id": "test:user001"}]),
+        epoch)
+    engine.run()
+    seen, docs = engine_state(engine)
+    assert not any(f == manual_url for f, _, _ in seen)
+    assert not any(d["url"] in manual_ids for d in docs.values())
+    row = engine.frontier().filter(
+        (F.col("file_url") == manual_url) & (F.col("job_type") == "process_file")
+    ).collect()[0]
+    assert not row["is_active"]
+
+
+def test_epoch_write_amplification_is_bucket_local(spark, tmp_path):
+    """Bucket-level replace (the MERGE-INTO analogue): an epoch that touches
+    one of twelve sites must write roughly that site's share of bytes for
+    frontier/url_seen/documents — not rewrite the tables wholesale."""
+    from crawler_spark.sources.synth import chunk_url
+
+    n_sites = 12
+    pages = corpus_pages_df(
+        spark, n_sites, 3, items_per_chunk=ITEMS,
+        sitemap_chunks={0: [0, 1]})  # site 0's chunk 2 exists but unlisted
+    cfg = CrawlConfig(num_partitions=16, salt_buckets=4)
+    engine = CrawlEngine(spark, SnapshotStore(tmp_path / "state"), pages, cfg)
+    engine.bootstrap(seeds_df(spark, n_sites))
+    engine.run()
+
+    state_root = tmp_path / "state"
+
+    def files_now():
+        return {str(p): p.stat().st_size for p in state_root.rglob("*")
+                if p.is_file()}
+
+    before = files_now()
+    table_bytes = sum(
+        engine.store.table_bytes(t) for t in ("frontier", "url_seen", "documents"))
+
+    # one-site epoch: manually add site 0's unlisted chunk and process it
+    epoch = engine.store.read_manifest()["epoch"] + 1
+    engine.add_manual_files(spark.createDataFrame(
+        [{"site_url": site_host(0), "user_id": "test:user001",
+          "file_url": chunk_url(0, 2), "schema_map": "manual"}]), epoch)
+    engine.run()
+    assert engine.url_seen().filter(
+        F.col("file_url") == chunk_url(0, 2)).count() == ITEMS
+
+    after = files_now()
+    new_bucket_bytes = sum(
+        sz for p, sz in after.items()
+        if p not in before and "/b0" in p)  # bucket version dirs only
+    # 1 site of 12 → ~8% of rows; parquet per-file floors make small buckets
+    # relatively fat, so allow up to 35% — a full rewrite would be ~300%
+    # (three tables) and the pre-fix engine rewrote everything every epoch
+    assert new_bucket_bytes < table_bytes * 0.35, (
+        f"one-site epoch wrote {new_bucket_bytes}B vs tables {table_bytes}B")
+
+
+def test_delete_site_wipes_ids_and_documents(spark, tmp_path, small_corpus):
+    """Site hard-delete (api.py:315-351, db.py:350-375): frontier rows, seen
+    ids, exclusively-owned vector docs, and the seed all go; other sites'
+    state is untouched (reference test_file_removal.py:235-279 analogue)."""
+    pages, seeds = small_corpus
+    engine = build_engine(spark, tmp_path, pages)
+    engine.bootstrap(seeds)
+    engine.run()
+    seen_before, docs_before = engine_state(engine)
+
+    victim = site_host(0)
+    epoch = engine.store.read_manifest()["epoch"] + 1
+    engine.delete_site(victim, "test:user001", epoch)
+
+    seen, docs = engine_state(engine)
+    assert all(victim not in f for f, _, _ in seen)
+    assert len(seen) == len(seen_before) - CHUNKS * ITEMS
+    assert all(victim not in d["url"] for d in docs.values())
+    # every surviving doc existed before; only the victim's are gone
+    assert set(docs) == {k for k, d in docs_before.items() if victim not in d["url"]}
+    assert engine.frontier().filter(F.col("site_url") == victim).count() == 0
+    seeds_left = engine.store.read(spark, "seeds").collect()
+    assert victim not in {r["site_url"] for r in seeds_left}
+    assert len(seeds_left) == N_SITES - 1
+
+
+def _page(url, body):
+    from datetime import datetime, timezone
+
+    return {"url": url, "warc_ts": datetime(2026, 1, 1, tzinfo=timezone.utc),
+            "html": body if isinstance(body, bytes) else body.encode(),
+            "text": "", "lang": "en"}
+
+
+def test_error_history_records_and_clears(spark, tmp_path):
+    """processing_errors analogue (db.py:126-168): fetch and extract failures
+    carry their real error strings, newest-first top-k reads back, and a
+    later successful process clears the file's history."""
+    import json
+
+    from crawler_spark.schema import PAGES
+
+    base = "https://site00000.example.com"
+    sitemap = ('<?xml version="1.0"?><urlset>'
+               '<url contentType="schema.org/Thing"><loc>/chunk0.json</loc></url>'
+               '<url contentType="schema.org/Thing"><loc>/chunk1.json</loc></url>'
+               '<url contentType="schema.org/Thing"><loc>/chunk2.json</loc></url>'
+               "</urlset>")
+    good = json.dumps([{"@type": "Thing", "@id": f"{base}/chunk0.json#s-0", "name": "x"}])
+    common = [
+        _page(f"{base}/robots.txt", "User-agent: *\nSchemaMap: /schema_map.xml\n"),
+        _page(f"{base}/schema_map.xml", sitemap),
+        _page(f"{base}/chunk0.json", good),
+        # chunk1: malformed JSON → extract_error; chunk2: absent → fetch_error
+        _page(f"{base}/chunk1.json", "{not valid json"),
+    ]
+    pages = spark.createDataFrame(common, PAGES)
+    engine = build_engine(spark, tmp_path, pages)
+    engine.bootstrap(seeds_df(spark, 1))
+    engine.run()
+
+    hist = engine.error_history().collect()
+    by_file = {}
+    for r in hist:
+        by_file.setdefault(r["file_url"], []).append(r)
+    assert by_file[f"{base}/chunk1.json"][0]["error_type"] == "extract_error"
+    assert "JSONDecodeError" in by_file[f"{base}/chunk1.json"][0]["error_message"]
+    assert by_file[f"{base}/chunk2.json"][0]["error_type"] == "fetch_error"
+    assert "HTTP 404" in by_file[f"{base}/chunk2.json"][0]["error_message"]
+    assert f"{base}/chunk0.json" not in by_file  # clean file has no history
+    # single-file filter mirrors get_file_errors(file_url, limit)
+    only = engine.error_history(file_url=f"{base}/chunk2.json").collect()
+    assert {r["file_url"] for r in only} == {f"{base}/chunk2.json"}
+    # fetch failures exhausted the retry budget → error status
+    row = engine.frontier().filter(F.col("file_url") == f"{base}/chunk2.json").collect()[0]
+    assert row["status"] == "error"
+
+    # phase 2: chunk1 becomes valid → success clears its error history
+    good1 = json.dumps([{"@type": "Thing", "@id": f"{base}/chunk1.json#s-0", "name": "y"}])
+    fixed = common[:3] + [_page(f"{base}/chunk1.json", good1)]
+    engine2 = build_engine(spark, tmp_path, spark.createDataFrame(fixed, PAGES))
+    engine2.store = engine.store
+    epoch = engine.store.read_manifest()["epoch"] + 1
+    # re-crawl chunk1 by re-queueing it (its status is done with the old body)
+    engine2.add_manual_files(spark.createDataFrame(
+        [{"site_url": "site00000.example.com", "user_id": "test:user001",
+          "file_url": f"{base}/chunk1.json", "schema_map": "manual"}]), epoch)
+    engine2.run()
+    files_left = {r["file_url"] for r in engine2.error_history().collect()}
+    assert f"{base}/chunk1.json" not in files_left  # cleared on success
+    assert f"{base}/chunk2.json" in files_left      # still failing file retained
+
+
 def test_resume_from_checkpoint(spark, tmp_path, small_corpus):
     """Kill after the first epoch; a fresh engine must finish identically."""
     pages, seeds = small_corpus

@@ -133,6 +133,17 @@ def test_pair_queries_have_no_cartesian_plan(name, spark, sf_dir):
         assert bad not in plan, f"{name}: {bad} in physical plan — all-pairs join"
 
 
+def test_readme_catalog_count_matches():
+    """Doc-drift guard: README's advertised catalog size == len(CATALOG)."""
+    import re
+
+    readme = (Path(__file__).resolve().parent.parent / "README.md").read_text()
+    m = re.search(r"(\d+) named queries", readme)
+    assert m, "README no longer mentions the catalog size"
+    assert int(m.group(1)) == len(CATALOG), (
+        f"README says {m.group(1)} queries, CATALOG has {len(CATALOG)}")
+
+
 def test_catalog_is_nonempty_where_expected(spark, sf_dir):
     # dedup queries must find the planted duplicates, not vacuous empties
     for name in ("dedup_exact", "dedup_minhash_lsh", "dedup_simhash_pairs", "dedup_ngram_jaccard"):

@@ -141,6 +141,81 @@ def test_provider_batching_and_none_handling():
     assert out.shape == (123, 8)
 
 
+def _bucketed_df(spark, n_rows, n_buckets, tag):
+    from pyspark.sql import functions as F
+
+    return (
+        spark.range(n_rows)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") % n_buckets).cast("int").alias("host_hash"),
+            F.concat(F.lit(tag), F.col("id")).alias("payload"),
+        )
+    )
+
+
+def test_replace_buckets_roundtrip_and_isolation(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    store = SnapshotStore(tmp_path / "state")
+    full = _bucketed_df(spark, 320, 8, "v0-")
+    entry = store.replace_buckets(full, "t", touched=list(range(8)))
+    store.commit(0, {"t": entry})
+    assert store.read(spark, "t").count() == 320
+
+    # replace only bucket 3 with new content; others must keep version 0
+    new3 = _bucketed_df(spark, 320, 8, "v1-").filter(F.col("host_hash") == 3)
+    entry = store.replace_buckets(new3, "t", touched=[3])
+    store.commit(1, {"t": entry})
+    got = store.read(spark, "t")
+    assert got.count() == 320
+    assert got.filter(F.col("payload").startswith("v1-")).count() == 40
+    versions = store.bucket_versions("t")
+    assert versions["3"] == 1 and all(v == 0 for b, v in versions.items() if b != "3")
+
+    # bucket-subset read touches only the requested paths
+    only = store.read_buckets(spark, "t", only=[3, 4])
+    assert only.select("host_hash").distinct().count() == 2
+
+    # emptying a bucket leaves an empty versioned dir, reads stay consistent
+    empty = full.filter(F.col("host_hash") == 99)  # no rows
+    entry = store.replace_buckets(empty, "t", touched=[4])
+    store.commit(2, {"t": entry})
+    assert store.read(spark, "t").filter(F.col("host_hash") == 4).count() == 0
+    assert store.read(spark, "t").count() == 280
+
+
+def test_replace_buckets_write_amplification(spark, tmp_path):
+    """The point of bucket-level replace: an epoch touching 1 of 32 buckets
+    must write ~1/32 of the table's bytes, not rewrite the table."""
+    from pyspark.sql import functions as F
+
+    store = SnapshotStore(tmp_path / "state")
+    full = _bucketed_df(spark, 3200, 32, "x-")
+    store.commit(0, {"t": store.replace_buckets(full, "t", touched=list(range(32)))})
+    base_bytes = store.table_bytes("t")
+
+    new0 = full.filter(F.col("host_hash") == 0)
+    store.commit(1, {"t": store.replace_buckets(new0, "t", touched=[0])})
+    new_version_dir = tmp_path / "state" / "t" / "b00000" / "v1"
+    written = sum(f.stat().st_size for f in new_version_dir.rglob("*") if f.is_file())
+    assert written < base_bytes * 0.15, (
+        f"1/32-bucket epoch wrote {written}B vs table {base_bytes}B")
+    # no other bucket gained a new version
+    assert sorted(store.bucket_versions("t").values()) == [0] * 31 + [1]
+
+
+def test_replace_buckets_empty_table_bootstrap(spark, tmp_path):
+    from crawler_spark.schema import URL_SEEN
+
+    store = SnapshotStore(tmp_path / "state")
+    empty = spark.createDataFrame([], URL_SEEN)
+    store.commit(-1, {"url_seen": store.replace_buckets(empty, "url_seen", touched=[])})
+    got = store.read(spark, "url_seen")
+    assert got.count() == 0
+    assert got.schema == URL_SEEN
+
+
 def test_store_materialize_pins_data(spark, tmp_path):
     store = SnapshotStore(tmp_path / "state")
     df = spark.range(100).withColumnRenamed("id", "k")
