@@ -40,7 +40,10 @@ from crawler_spark.functions.canonical import (
     host_hash_expr,
 )
 from crawler_spark.functions.embed import embed_binary_udf
-from crawler_spark.functions.extract import EXTRACTED_SCHEMA, explode_jsonld
+from crawler_spark.functions.extract import (
+    EXTRACTED_META_SCHEMA,
+    explode_jsonld_with_meta,
+)
 from crawler_spark.functions.sitemap import (
     parse_sitemap_udf,
     robots_crawl_delay_udf,
@@ -412,34 +415,34 @@ class CrawlEngine:
         fetch_jobs = selected.filter(F.col("job_type") == "process_file")
         removal_jobs = selected.filter(F.col("job_type") == "process_removed_file")
 
-        # --- fetch (S1): join against pages; missing page == HTTP failure ---
+        # --- fetch (S1) + extract (C4/C6): ONE streaming pass over page
+        # bodies — fetch-join → Arrow extract kernel (metadata passed through
+        # in the same batch) → scratch parquet. The html bytes are consumed
+        # exactly once and NEVER cached: at 100× page sizes a pinned body
+        # cache evicts or spills mid-epoch, so only the extracted text (the
+        # scratch) is pinned, and every downstream sink derives from it.
         fetched = (
             fetch_jobs.select("file_url", "user_id", "site_url", "queued_at")
             .join(self._page_bodies.withColumnRenamed("url", "file_url"), "file_url", "left")
-            .withColumn("content_length", F.octet_length("html").cast("long"))
         )
-        fetched.cache()
-        ok = fetched.filter(F.col("html").isNotNull())
-        failed = fetched.filter(F.col("html").isNull()).select("file_url", "user_id")
-
-        # --- extract (C4/C6): ONE Arrow pass body → object rows, then
-        # materialized to scratch parquet. Several sinks (url_seen, documents,
-        # frontier, metrics) all derive from the extract output; pinning it
-        # once guarantees the Python stage runs exactly once per epoch
-        # regardless of how many downstream DAGs reference it.
         extracted_raw = (
-            ok.select("file_url", F.col("html").alias("body"))
-            .mapInPandas(explode_jsonld, schema=EXTRACTED_SCHEMA)
+            fetched.filter(F.col("html").isNotNull())
+            .select("file_url", F.col("html").alias("body"),
+                    "user_id", "site_url", "queued_at")
+            .mapInPandas(explode_jsonld_with_meta, schema=EXTRACTED_META_SCHEMA)
             .withColumn("partition_id", F.spark_partition_id())
         )
-        meta = ok.select("file_url", "user_id", "site_url", "queued_at", "content_length")
         scratch = self.store.materialize(
             self.spark,
-            extracted_raw.join(meta, "file_url")
-            .dropDuplicates(["file_url", "user_id", "id"]),  # U1 set(ids)
+            extracted_raw.dropDuplicates(["file_url", "user_id", "id"]),  # U1 set(ids)
             "extracted_epoch",
         )
         extracted = scratch.filter(F.col("id").isNotNull())
+        # every fetched-ok file appears in scratch (marker rows included), so
+        # fetch failures fall out of the pinned scratch — no second body scan
+        ok_keys = scratch.select("file_url", "user_id").distinct()
+        failed = fetch_jobs.select("file_url", "user_id").join(
+            ok_keys, ["file_url", "user_id"], "left_anti")
         if cfg.collect_stats:
             rep.ids_extracted = extracted.count()
 
@@ -457,8 +460,7 @@ class CrawlEngine:
         # those (explicit path pruning — O(touched), not O(seen-set))
         seen_touched = self.store.read_buckets(self.spark, "url_seen", only=touched)
         processed_keys = (
-            ok.select("file_url", "user_id")
-            .unionByName(removal_jobs.select("file_url", "user_id"))
+            ok_keys.unionByName(removal_jobs.select("file_url", "user_id"))
         )
         existing = seen_touched.join(processed_keys, ["file_url", "user_id"], "left_semi")
 
@@ -467,7 +469,14 @@ class CrawlEngine:
             host_hash_expr(host_from_url_expr(F.col("file_url")), cfg.num_partitions)
             .alias("host_hash"),
         )
-        added = seen.anti_join_new_ids(ext_ids, existing, use_bloom=cfg.use_bloom)
+        # persisted per-bucket Blooms (updated_blooms): read the touched
+        # buckets' blobs; first epoch (no blobs yet) builds from seen_touched
+        persisted_blooms = (
+            self.store.read_buckets(self.spark, "blooms", only=touched)
+            if cfg.use_bloom and self.store.exists("blooms") else None
+        )
+        added = seen.anti_join_new_ids(
+            ext_ids, existing, use_bloom=cfg.use_bloom, blooms=persisted_blooms)
         removed = existing.select("file_url", "user_id", "id").join(
             ext_ids, ["file_url", "user_id", "id"], "left_anti"
         )
@@ -492,15 +501,17 @@ class CrawlEngine:
         )
         firsts = seen.first_occurrences(added, seen_global.select("id", "user_id").distinct())
         orphans = seen.orphaned_ids(removed, seen_after_global)
-        firsts.cache(); orphans.cache()
 
         if cfg.embed_documents:
-            # touched doc buckets come from firsts/orphans (pre-embed, cached
-            # + cheap) — never from the embed output, which must run once
+            # touched doc buckets: firsts ⊆ added and orphans ⊆ removed, so
+            # the added∪removed id buckets are an exact cover — and this ONE
+            # small job doubles as the materialization point of the added/
+            # removed caches, so the concurrent sinks below all start from
+            # hot caches instead of racing to compute the diff three times
             orphan_keys = orphans.select(doc_key_expr(F.col("id")).alias("id"))
             doc_touch = (
-                firsts.select(F.col("id").alias("k"))
-                .unionByName(orphans.select(F.col("id").alias("k")))
+                added.select(F.col("id").alias("k"))
+                .unionByName(removed.select(F.col("id").alias("k")))
                 .select(doc_bucket_expr(F.col("k"), cfg.num_partitions).alias("b"))
                 .distinct().collect()
             )
@@ -516,13 +527,18 @@ class CrawlEngine:
                 # test on the display string would wrongly skip e.g.
                 # `BreadcrumbListItem`.
                 .filter(~F.array_contains("type_list", "BreadcrumbList"))
-                # explicit parallelism for the embed stage: AQE coalesces the
-                # join output by its ~1 KB/row size, but the embed expands each
-                # row by a 6 KB vector — without this repartition the most
-                # expensive stage of the pipeline runs in a handful of tasks
-                .repartition(cfg.num_partitions * 2)
+                .withColumn("bucket", doc_bucket_expr(F.col("id"), cfg.num_partitions))
+                # bucket-align the ~1 KB pre-embed rows BEFORE the embed
+                # projection, salted so a hot host's bucket spreads over
+                # several tasks: the explicit repartition sets the embed
+                # stage's parallelism (AQE would under-coalesce ahead of the
+                # 6 KB/row expansion) and the 6 KB embedded rows are never
+                # shuffled again — the bucket write below is pre_partitioned
+                # (files per bucket ≤ salt width, not #tasks)
+                .repartition(cfg.num_partitions * 2, F.col("bucket"),
+                             F.pmod(F.hash("id"), F.lit(8)))
                 .select(
-                    doc_bucket_expr(F.col("id"), cfg.num_partitions).alias("bucket"),
+                    "bucket",
                     doc_key_expr(F.col("id")).alias("id"),
                     F.col("id").alias("url"),
                     F.col("site_url").alias("site"),
@@ -642,15 +658,33 @@ class CrawlEngine:
         # Every bucket-replace write moves only this epoch's touched buckets.
         from concurrent.futures import ThreadPoolExecutor
 
+        # incremental Bloom maintenance: OR this epoch's added ids into the
+        # touched buckets' blobs — O(added), never a rebuild across epochs.
+        # Invariant: a bucket with url_seen rows has a blob (it was touched
+        # when the rows landed); a store from before the blooms table seeds
+        # its touched blobs from the bucket's full content once.
+        new_blooms = None
+        if cfg.use_bloom:
+            if persisted_blooms is not None:
+                new_blooms = seen.updated_blooms(
+                    persisted_blooms,
+                    added.select("file_url", "user_id", "id", "host_hash"))
+            else:
+                new_blooms = seen.build_host_blooms(seen_content)
+
         versions = {}
-        with ThreadPoolExecutor(max_workers=5) as pool:
+        with ThreadPoolExecutor(max_workers=6) as pool:
             f_seen = pool.submit(
                 self.store.replace_buckets, seen_content, "url_seen", touched)
+            f_blooms = (
+                pool.submit(self.store.replace_buckets, new_blooms, "blooms", touched)
+                if new_blooms is not None else None
+            )
             f_frontier = pool.submit(
                 self.store.replace_buckets, frontier_after, "frontier", touched)
             f_docs = (
                 pool.submit(self.store.replace_buckets, docs_content, "documents",
-                            touched_docs, "bucket")
+                            touched_docs, "bucket", True)
                 if docs_content is not None else None
             )
             # per-epoch lineage is append-only: O(1) write, unioned at read time
@@ -661,6 +695,8 @@ class CrawlEngine:
             versions["frontier"] = f_frontier.result()
             if f_docs is not None:
                 versions["documents"] = f_docs.result()
+            if f_blooms is not None:
+                versions["blooms"] = f_blooms.result()
             versions["errors"] = f_errors.result()
             f_metrics.result()
 
@@ -680,7 +716,7 @@ class CrawlEngine:
             "ids_added": rep.ids_added, "ids_removed": rep.ids_removed,
         })
 
-        for df in (selected, fetched, added, removed, firsts, orphans):
+        for df in (selected, added, removed):
             df.unpersist()
         rep.wall_s = _time.time() - t0
         return rep

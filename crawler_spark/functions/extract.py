@@ -231,6 +231,27 @@ EXTRACTED_SCHEMA = (
     "error string"
 )
 
+_EXTRACT_COLS = ("file_url", "id", "obj_json", "types", "type_list",
+                 "essential_text", "position", "num_ids", "error")
+
+
+def _object_rows(file_url, body) -> list[tuple]:
+    """Extracted rows for one fetched file, in :data:`_EXTRACT_COLS` order.
+    Files yielding no objects emit a single null-id marker row so fetch
+    accounting (``num_ids == 0`` + the error string) survives."""
+    ids, objects, error = extract_with_error(body)
+    n = len(ids)
+    if n == 0:
+        return [(file_url, None, None, None, None, None, 0, 0, error)]
+    return [
+        (
+            file_url, oid, json.dumps(obj), join_types(obj.get("@type")),
+            type_list(obj.get("@type")), extract_essential_fields(obj),
+            pos, n, None,
+        )
+        for pos, (oid, obj) in enumerate(zip(ids, objects))
+    ]
+
 
 def explode_jsonld(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """``mapInPandas`` kernel: fetched file rows → extracted object rows.
@@ -239,37 +260,42 @@ def explode_jsonld(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     Emits one row per ``@id``-bearing object with the byte-fidelity
     ``essential_text`` already computed (the reference computes it just
     before embedding — hoisting it here keeps one Python hop per row total).
-    Files yielding no objects emit a single null-id row so fetch accounting
-    (``num_ids == 0``) survives; callers filter ``id IS NOT NULL``.
+    Callers filter ``id IS NOT NULL`` (see :func:`_object_rows`).
     """
     for pdf in batches:
-        out: dict[str, list] = {
-            "file_url": [], "id": [], "obj_json": [], "types": [],
-            "type_list": [], "essential_text": [], "position": [], "num_ids": [],
-            "error": [],
-        }
+        rows: list[tuple] = []
         for file_url, body in zip(pdf["file_url"], pdf["body"]):
-            ids, objects, error = extract_with_error(body)
-            n = len(ids)
-            if n == 0:
-                out["file_url"].append(file_url)
-                out["id"].append(None)
-                out["obj_json"].append(None)
-                out["types"].append(None)
-                out["type_list"].append(None)
-                out["essential_text"].append(None)
-                out["position"].append(0)
-                out["num_ids"].append(0)
-                out["error"].append(error)
-                continue
-            for pos, (oid, obj) in enumerate(zip(ids, objects)):
-                out["file_url"].append(file_url)
-                out["id"].append(oid)
-                out["obj_json"].append(json.dumps(obj))
-                out["types"].append(join_types(obj.get("@type")))
-                out["type_list"].append(type_list(obj.get("@type")))
-                out["essential_text"].append(extract_essential_fields(obj))
-                out["position"].append(pos)
-                out["num_ids"].append(n)
-                out["error"].append(None)
-        yield pd.DataFrame(out)
+            rows.extend(_object_rows(file_url, body))
+        yield pd.DataFrame(rows, columns=list(_EXTRACT_COLS))
+
+
+#: :func:`explode_jsonld_with_meta` output — extraction plus the fetch
+#: metadata threaded through the SAME pass, so the epoch scans page bodies
+#: exactly once and never caches them (bytes stream kernel → scratch).
+EXTRACTED_META_SCHEMA = (
+    EXTRACTED_SCHEMA + ", user_id string, site_url string, "
+    "queued_at timestamp, content_length bigint"
+)
+
+
+def explode_jsonld_with_meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Like :func:`explode_jsonld`, with per-file metadata passed through.
+
+    Input columns: ``file_url, body, user_id, site_url, queued_at``; each
+    emitted row carries its file's metadata plus ``content_length =
+    len(body)``. One Python pass total: the raw ``html`` is consumed here
+    and nowhere else downstream (the scratch parquet holds only extracted
+    text), so executor memory never pins page bodies.
+    """
+    meta_cols = ("user_id", "site_url", "queued_at")
+    for pdf in batches:
+        rows: list[tuple] = []
+        for file_url, body, user_id, site_url, queued_at in zip(
+            pdf["file_url"], pdf["body"], pdf["user_id"],
+            pdf["site_url"], pdf["queued_at"],
+        ):
+            n_bytes = 0 if body is None else len(body)
+            for base in _object_rows(file_url, body):
+                rows.append(base + (user_id, site_url, queued_at, n_bytes))
+        yield pd.DataFrame(
+            rows, columns=list(_EXTRACT_COLS) + list(meta_cols) + ["content_length"])

@@ -84,19 +84,23 @@ def build_host_blooms(seen: DataFrame, bits_per_item: int = _BITS_PER_ITEM) -> D
     return seen.groupBy("host_hash").applyInPandas(build, schema=BLOOM_SCHEMA)
 
 
-def split_by_bloom(incoming: DataFrame, seen: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(definitely_new, maybe_seen) split of ``incoming`` by per-bucket Blooms.
+def split_by_bloom_blobs(
+    incoming: DataFrame, blooms: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """(definitely_new, maybe_seen) split of ``incoming`` by per-bucket Bloom
+    blobs (``BLOOM_SCHEMA`` rows — persisted in the store or freshly built).
 
-    Both inputs carry ``host_hash``. Implemented as a *cogrouped* pandas op:
-    each bucket's candidate rows meet that bucket's single Bloom blob —
-    the blob is never replicated per row, and buckets process in parallel.
-    ``definitely_new`` rows skip the exact anti-join shuffle entirely;
-    ``maybe_seen`` (true dups + ~0.3% false positives) continue to the exact
-    check, so the final seen set is exact (SURVEY.md §4 custom piece #2).
+    Implemented as a *cogrouped* pandas op: each bucket's candidate rows meet
+    that bucket's single Bloom blob — the blob is never replicated per row,
+    and buckets process in parallel. ``definitely_new`` rows skip the exact
+    anti-join shuffle entirely; ``maybe_seen`` (true dups + ~0.3% false
+    positives) continue to the exact check, so the final seen set is exact
+    (SURVEY.md §4 custom piece #2). A blob that is a *superset* of the live
+    seen set (stale bits of removed ids) only adds false positives — never
+    false negatives — so persisted blobs stay valid without deletions.
     """
     from pyspark.sql.types import BooleanType
 
-    blooms = build_host_blooms(seen)
     out_schema = StructType(incoming.schema.fields + [StructField("maybe_seen", BooleanType(), False)])
 
     def probe(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
@@ -120,6 +124,79 @@ def split_by_bloom(incoming: DataFrame, seen: DataFrame) -> tuple[DataFrame, Dat
     )
 
 
+def split_by_bloom(incoming: DataFrame, seen: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Build-then-probe convenience: per-bucket Blooms from ``seen``, then
+    :func:`split_by_bloom_blobs`. The epoch loop persists blobs instead
+    (see :func:`updated_blooms`) so they are never rebuilt from scratch."""
+    return split_by_bloom_blobs(incoming, build_host_blooms(seen))
+
+
+#: blob growth headroom: a fresh bucket blob is sized for 4× its first batch
+_BLOOM_HEADROOM = 4
+
+
+def updated_blooms(
+    blooms: DataFrame, added: DataFrame, bits_per_item: int = _BITS_PER_ITEM
+) -> DataFrame:
+    """Incrementally fold this epoch's ``added`` ids into the persisted
+    per-bucket blobs — O(added) hashing per epoch, never a rebuild of the
+    bucket's full id set.
+
+    Cogrouped per ``host_hash``: an existing blob gets the added keys' bits
+    OR-ed in; a bucket with no blob yet gets a fresh one sized with
+    :data:`_BLOOM_HEADROOM` growth room. A blob that outgrows its capacity
+    *doubles losslessly w.r.t. false negatives*: with double hashing,
+    ``pos mod 2m ∈ {pos mod m, pos mod m + m}``, so copying the old bitmap
+    into both halves keeps every previously-inserted key matching while new
+    keys use the full 2m space — no access to the bucket's historical rows
+    needed, no extra Spark job, exactness preserved (the pre-doubling bits
+    only cost extra false positives that the exact anti-join absorbs).
+    """
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty and right.empty:
+            return pd.DataFrame({
+                "host_hash": pd.Series([], dtype="int32"),
+                "bloom": pd.Series([], dtype="object"),
+                "m_bits": pd.Series([], dtype="int64"),
+                "n_items": pd.Series([], dtype="int64"),
+            })
+        if left.empty:  # blob of an untouched bucket passes through unchanged
+            blob = right.iloc[0]
+            return pd.DataFrame([blob.to_dict()])
+        n_add = len(left)
+        if right.empty:
+            m = max(1 << 10, bits_per_item * n_add * _BLOOM_HEADROOM)
+            m += (-m) % 8
+            bits = np.zeros(m, dtype=bool)
+            n_before = 0
+            hh = int(left["host_hash"].iloc[0])
+        else:
+            blob = right.iloc[0]
+            m = int(blob["m_bits"])
+            bits = np.unpackbits(np.frombuffer(blob["bloom"], dtype=np.uint8)).astype(bool)
+            n_before = int(blob["n_items"])
+            hh = int(blob["host_hash"])
+        n_now = n_before + n_add
+        while n_now * bits_per_item > m:  # no-false-negative doubling
+            bits = np.concatenate([bits, bits])
+            m *= 2
+        pos = _bloom_positions(_composite(left), m)
+        bits[pos.ravel()] = True
+        return pd.DataFrame([{
+            "host_hash": hh,
+            "bloom": np.packbits(bits).tobytes(),
+            "m_bits": m,
+            "n_items": n_now,
+        }])
+
+    return (
+        added.groupBy("host_hash")
+        .cogroup(blooms.groupBy("host_hash"))
+        .applyInPandas(merge, schema=BLOOM_SCHEMA)
+    )
+
+
 def diff_ids(extracted: DataFrame, existing: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(added, removed) id rows for the files being (re)processed.
 
@@ -136,15 +213,21 @@ def anti_join_new_ids(
     extracted: DataFrame,
     seen: DataFrame,
     use_bloom: bool = True,
+    blooms: DataFrame | None = None,
 ) -> DataFrame:
     """Rows of ``extracted`` whose (file_url, user_id, id) is not in ``seen``,
     with the partitioned Bloom pre-filter in front of the exact anti-join.
 
-    Both frames must carry ``host_hash`` when ``use_bloom`` is set.
+    Both frames must carry ``host_hash`` when ``use_bloom`` is set. Pass
+    persisted ``blooms`` blobs (the epoch loop does) to skip the build pass;
+    they may be a superset of ``seen`` — supersets only cost false positives.
     """
     if not use_bloom:
         return extracted.join(seen, _ID_KEY, "left_anti")
-    fresh, maybe = split_by_bloom(extracted, seen)
+    if blooms is not None:
+        fresh, maybe = split_by_bloom_blobs(extracted, blooms)
+    else:
+        fresh, maybe = split_by_bloom(extracted, seen)
     checked = maybe.join(seen.select(*_ID_KEY), _ID_KEY, "left_anti")
     return fresh.unionByName(checked)
 

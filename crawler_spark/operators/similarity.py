@@ -68,14 +68,27 @@ def _projections(dim: int, bits: int, seed: int = 7) -> np.ndarray:
     return rng.standard_normal((bits, dim))
 
 
-def _sketch_udf(planes: np.ndarray):
+def _sketch_udf(bits: int, seed: int = 7):
+    """Sign-sketch UDF with executor-side plane generation.
+
+    The hyperplanes are derived deterministically from (seed, dim, bits) on
+    each executor from the first Arrow batch's vector length — identical on
+    every task, and the driver never runs a job to discover ``dim`` (an
+    operator that may sit mid-pipeline must not force an extra action).
+    """
     from pyspark.sql.functions import pandas_udf
+
+    plane_cache: dict[int, np.ndarray] = {}
 
     @pandas_udf(LongType())
     def sketch(vecs: pd.Series) -> pd.Series:
         mat = np.stack(vecs.to_numpy())              # (n, dim) per Arrow batch
+        dim = mat.shape[1]
+        planes = plane_cache.get(dim)
+        if planes is None:
+            planes = plane_cache.setdefault(dim, _projections(dim, bits, seed))
         signs = mat @ planes.T > 0                   # (n, bits)
-        weights = (1 << np.arange(planes.shape[0])).astype(np.int64)
+        weights = (1 << np.arange(bits)).astype(np.int64)
         return pd.Series(signs @ weights)
 
     return sketch
@@ -93,10 +106,10 @@ def lsh_topk(
     pairwise scoring + window top-k run exactly like brute force but on a
     ~``n_probe/2^bits`` slice of the corpus.
     """
-    if dim is None:
-        dim = len(candidates.select(vec_col).first()[0])
-    planes = _projections(dim, bits)
-    sketch = _sketch_udf(planes)
+    # dim is discovered executor-side inside the sketch UDF — no driver
+    # action; the explicit param remains only for API compatibility
+    del dim
+    sketch = _sketch_udf(bits)
 
     c = candidates.select(
         F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")

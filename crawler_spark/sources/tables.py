@@ -137,6 +137,7 @@ class SnapshotStore:
         name: str,
         touched: list[int],
         bucket_col: str = "host_hash",
+        pre_partitioned: bool = False,
     ) -> dict:
         """Write new content for exactly the ``touched`` buckets of ``name``.
 
@@ -153,13 +154,19 @@ class SnapshotStore:
             self._schema_path(name).write_text(df.schema.json())
         if touched:
             stage = self.root / name / f"stage-{time.time_ns()}"
-            (
+            staged = (
                 df.filter(F.col(bucket_col).isin([int(b) for b in touched]))
                 .withColumn("_b", F.col(bucket_col))
-                .write.mode("overwrite")
-                .partitionBy("_b")
-                .parquet(str(stage))
             )
+            if not pre_partitioned:
+                # co-locate each bucket's rows into one task before the
+                # directory split — otherwise every upstream task writes a
+                # sliver per bucket (tasks × buckets small files). Callers
+                # whose rows are already bucket-aligned (e.g. the documents
+                # sink, which must not shuffle 6 KB embedded rows) pass
+                # pre_partitioned=True to skip this exchange.
+                staged = staged.repartition(max(len(touched), 1), F.col("_b"))
+            staged.write.mode("overwrite").partitionBy("_b").parquet(str(stage))
             for b in touched:
                 nxt = int(buckets.get(str(int(b)), -1)) + 1
                 target = self._bucket_dir(name, int(b), nxt)
