@@ -509,13 +509,6 @@ class CrawlEngine:
             # removed caches, so the concurrent sinks below all start from
             # hot caches instead of racing to compute the diff three times
             orphan_keys = orphans.select(doc_key_expr(F.col("id")).alias("id"))
-            doc_touch = (
-                added.select(F.col("id").alias("k"))
-                .unionByName(removed.select(F.col("id").alias("k")))
-                .select(doc_bucket_expr(F.col("k"), cfg.num_partitions).alias("b"))
-                .distinct().collect()
-            )
-            touched_docs = sorted(int(r["b"]) for r in doc_touch)
             new_docs = (
                 firsts.join(
                     extracted.select("file_url", "user_id", "id", "obj_json",
@@ -549,18 +542,19 @@ class CrawlEngine:
                     embed_binary_udf(F.col("essential_text")).alias("embedding"),
                 )
             )
-            # only the touched doc buckets are read back and rewritten —
-            # untouched embedding bytes (the table's mass) are never moved
-            docs_touched_old = (
-                self.store.read_buckets(self.spark, "documents", only=touched_docs)
-                if self.store.exists("documents") else self.documents()
-            )
-            docs_content = (
-                docs_touched_old.join(orphan_keys, "id", "left_anti")
-                .unionByName(new_docs)
-            )
+            def docs_for(touched_docs: list[int]) -> DataFrame:
+                # only the touched doc buckets are read back and rewritten —
+                # untouched embedding bytes (the table's mass) are never moved
+                docs_touched_old = (
+                    self.store.read_buckets(self.spark, "documents", only=touched_docs)
+                    if self.store.exists("documents") else self.documents()
+                )
+                return (
+                    docs_touched_old.join(orphan_keys, "id", "left_anti")
+                    .unionByName(new_docs)
+                )
         else:
-            docs_content, touched_docs = None, []
+            docs_for = None
 
         # --- frontier transitions + metrics ---
         # per_file covers every fetched-ok file (zero-object files included
@@ -649,30 +643,47 @@ class CrawlEngine:
             self.store.read(self.spark, "documents").count()
             if cfg.collect_stats and self.store.exists("documents") else 0
         )
-        # ALL sinks run concurrently from driver threads: the touched_docs
-        # collect above already materialized the added/removed/firsts/orphans
-        # caches every sink shares, so the five jobs are independent DAGs
-        # over pinned inputs — on a cluster the short frontier/metrics jobs
-        # never wait behind the long documents job, and the epoch's serial
-        # driver path is (select-count → extract-pin → gate-collect → sinks).
-        # Every bucket-replace write moves only this epoch's touched buckets.
+        # ALL sinks run concurrently from driver threads — independent DAGs
+        # over the pinned scratch + diff caches, so the short frontier/
+        # metrics jobs never wait behind the long documents job and the
+        # epoch's serial driver path is just (select-count → extract-pin →
+        # sinks). Every bucket-replace write moves only this epoch's touched
+        # buckets.
         from concurrent.futures import ThreadPoolExecutor
 
         # incremental Bloom maintenance: OR this epoch's added ids into the
         # touched buckets' blobs — O(added), never a rebuild across epochs.
         # Invariant: a bucket with url_seen rows has a blob (it was touched
-        # when the rows landed); a store from before the blooms table seeds
+        # when the rows landed), so the incremental fold covers a fresh store
+        # from its very first epoch. Only a LEGACY store (url_seen data from
+        # before the blooms table — detectable from the manifest alone) seeds
         # its touched blobs from the bucket's full content once.
         new_blooms = None
         if cfg.use_bloom:
-            if persisted_blooms is not None:
-                new_blooms = seen.updated_blooms(
-                    persisted_blooms,
-                    added.select("file_url", "user_id", "id", "host_hash"))
-            else:
+            legacy_seed = (
+                persisted_blooms is None
+                and bool(self.store.bucket_versions("url_seen"))
+                and self.store.read_manifest()["epoch"] >= 0
+            )
+            if legacy_seed:
                 new_blooms = seen.build_host_blooms(seen_content)
+            else:
+                blooms_in = (
+                    persisted_blooms if persisted_blooms is not None
+                    else self.spark.createDataFrame([], seen.BLOOM_SCHEMA)
+                )
+                new_blooms = seen.updated_blooms(
+                    blooms_in, added.select("file_url", "user_id", "id", "host_hash"))
+
+        def write_errors():
+            # errors table is tiny (only failing files) — O(#errors) rewrite;
+            # a clean epoch with no table yet skips the sink entirely
+            if not self.store.exists("errors") and new_errors.isEmpty():
+                return None
+            return self.store.write(errors_after, "errors")
 
         versions = {}
+        touched_docs: list[int] = []
         with ThreadPoolExecutor(max_workers=6) as pool:
             f_seen = pool.submit(
                 self.store.replace_buckets, seen_content, "url_seen", touched)
@@ -682,22 +693,34 @@ class CrawlEngine:
             )
             f_frontier = pool.submit(
                 self.store.replace_buckets, frontier_after, "frontier", touched)
-            f_docs = (
-                pool.submit(self.store.replace_buckets, docs_content, "documents",
-                            touched_docs, "bucket", True)
-                if docs_content is not None else None
-            )
             # per-epoch lineage is append-only: O(1) write, unioned at read time
             f_metrics = pool.submit(self.store.append, metrics, "metrics", f"{epoch:06d}")
-            # errors table is tiny (only failing files) — O(#errors) rewrite
-            f_errors = pool.submit(self.store.write, errors_after, "errors")
+            f_errors = pool.submit(write_errors)
+            f_docs = None
+            if docs_for is not None:
+                # the touched-doc-bucket collect overlaps the four sinks
+                # above; firsts ⊆ added and orphans ⊆ removed make the
+                # added∪removed id buckets an exact cover, and this small
+                # job doubles as the diff-cache materialization point
+                doc_touch = (
+                    added.select(F.col("id").alias("k"))
+                    .unionByName(removed.select(F.col("id").alias("k")))
+                    .select(doc_bucket_expr(F.col("k"), cfg.num_partitions).alias("b"))
+                    .distinct().collect()
+                )
+                touched_docs = sorted(int(r["b"]) for r in doc_touch)
+                f_docs = pool.submit(
+                    self.store.replace_buckets, docs_for(touched_docs),
+                    "documents", touched_docs, "bucket", True)
             versions["url_seen"] = f_seen.result()
             versions["frontier"] = f_frontier.result()
             if f_docs is not None:
                 versions["documents"] = f_docs.result()
             if f_blooms is not None:
                 versions["blooms"] = f_blooms.result()
-            versions["errors"] = f_errors.result()
+            ev = f_errors.result()
+            if ev is not None:
+                versions["errors"] = ev
             f_metrics.result()
 
         if cfg.collect_stats:
