@@ -353,6 +353,46 @@ def test_error_history_records_and_clears(spark, tmp_path):
     assert f"{base}/chunk2.json" in files_left      # still failing file retained
 
 
+def test_http_fetch_kernel_matches_fetch_join(spark, small_corpus):
+    """The production HTTP kernel (sources/http_fetch.py) is a drop-in for
+    the fetch-join: identical bytes per url, explicit status/error rows for
+    failures (reference worker.py:103-111 semantics)."""
+    from datetime import datetime, timezone
+
+    from crawler_spark.sources.http_fetch import fetch_pages, make_fetch_kernel  # noqa: F401
+    from pyspark import cloudpickle
+
+    pages, _ = small_corpus
+    corpus = {r["url"]: bytes(r["html"]) for r in pages.collect()}
+
+    def fake_transport_factory(corpus=corpus):
+        calls = {"n": 0}
+
+        def get(url):
+            calls["n"] += 1
+            body = corpus.get(url)
+            if body is None:
+                return 404, None, "HTTP 404"
+            return 200, body, None
+
+        return get
+
+    ts = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    urls = sorted(corpus)[:5] + ["https://site00000.example.com/missing.json"]
+    jobs = spark.createDataFrame(
+        [{"file_url": u, "user_id": "test:user001",
+          "site_url": "site00000.example.com", "queued_at": ts} for u in urls])
+
+    fetched = {r["file_url"]: r for r in fetch_pages(jobs, fake_transport_factory).collect()}
+    assert len(fetched) == 6
+    for u in urls[:5]:
+        assert bytes(fetched[u]["html"]) == corpus[u]
+        assert fetched[u]["status_code"] == 200 and fetched[u]["fetch_error"] is None
+    miss = fetched["https://site00000.example.com/missing.json"]
+    assert miss["html"] is None and miss["status_code"] == 404
+    assert miss["fetch_error"] == "HTTP 404"
+
+
 def test_resume_from_checkpoint(spark, tmp_path, small_corpus):
     """Kill after the first epoch; a fresh engine must finish identically."""
     pages, seeds = small_corpus
