@@ -371,6 +371,29 @@ class CrawlEngine:
             docs_after = self.documents().join(orphan_keys, "id", "left_anti")
             versions["documents"] = self.store.replace_buckets(
                 docs_after, "documents", touched_docs, bucket_col="bucket")
+        if self.store.exists("refcounts"):
+            # decrement the deleted rows out of the maintained ref-count view
+            rc_buckets = [int(r[0]) for r in doomed.select(
+                doc_bucket_expr(F.col("id"), self.cfg.num_partitions)).distinct().collect()]
+            rc_old = self.store.read_buckets(
+                self.spark, "refcounts", only=rc_buckets
+            ).select("id", "user_id", "ref_count")
+            rc_delta = doomed.groupBy("id", "user_id").agg(
+                (-F.count(F.lit(1))).alias("delta"))
+            rc_content = (
+                rc_old.join(rc_delta, ["id", "user_id"], "left")
+                .select(
+                    "id", "user_id",
+                    (F.col("ref_count") + F.coalesce(F.col("delta"), F.lit(0)))
+                    .alias("ref_count"))
+                .filter(F.col("ref_count") > 0)
+                .select(
+                    doc_bucket_expr(F.col("id"), self.cfg.num_partitions)
+                    .alias("rbucket"),
+                    "id", "user_id", "ref_count")
+            )
+            versions["refcounts"] = self.store.replace_buckets(
+                rc_content, "refcounts", rc_buckets, "rbucket")
         for df in (victim_rows, doomed, orphans):
             df.unpersist()
         self.store.commit(epoch, versions,
@@ -492,57 +515,90 @@ class CrawlEngine:
         )
 
         # --- ref-count gates (A1) BEFORE the expensive embed stage ---
-        # id-keyed semantics are global (an id's other references may live in
-        # any host bucket), so these two gates read the whole seen set
-        seen_global = self.url_seen()
-        seen_after_global = (
-            seen_global.join(removed, ["file_url", "user_id", "id"], "left_anti")
-            .unionByName(added.select("file_url", "user_id", "id", "host_hash"))
+        # id-reference semantics are global, but scanning the whole seen set
+        # per epoch is O(corpus). Instead the store maintains `refcounts` —
+        # an incremental materialization of url_seen GROUP BY (id, user_id),
+        # bucketed like documents — and the gates merge this epoch's deltas
+        # against ONLY the touched buckets' counts: first-add = old count 0,
+        # last-remove = new count 0 (reference db.py:278-282 / worker.py:
+        # 216-218, 262-266 as view maintenance).
+        rc_delta = (
+            added.select("id", "user_id", F.lit(1).alias("d"))
+            .unionByName(removed.select("id", "user_id", F.lit(-1).alias("d")))
+            .groupBy("id", "user_id").agg(F.sum("d").alias("delta"))
         )
-        firsts = seen.first_occurrences(added, seen_global.select("id", "user_id").distinct())
-        orphans = seen.orphaned_ids(removed, seen_after_global)
+
+        def gates_for(touched_ids: list[int]):
+            """(firsts, orphans, rc_content, rc_write_buckets) from the
+            touched id buckets only. A legacy store (url_seen rows but no
+            refcounts table yet) pays a one-time full rebuild."""
+            from crawler_spark.schema import REFCOUNTS
+
+            legacy = False
+            if self.store.exists("refcounts"):
+                rc_old = self.store.read_buckets(
+                    self.spark, "refcounts", only=touched_ids
+                ).select("id", "user_id", "ref_count")
+            elif self.store.bucket_versions("url_seen"):
+                legacy = True
+                rc_old = self.url_seen().groupBy("id", "user_id").agg(
+                    F.count(F.lit(1)).alias("ref_count"))
+            else:
+                rc_old = self.spark.createDataFrame([], REFCOUNTS).select(
+                    "id", "user_id", "ref_count")
+            merged = rc_old.join(rc_delta, ["id", "user_id"], "full_outer").select(
+                "id", "user_id",
+                (F.coalesce(F.col("ref_count"), F.lit(0))
+                 + F.coalesce(F.col("delta"), F.lit(0))).alias("ref_count"),
+            )
+            firsts = seen.first_occurrences(
+                added, rc_old.filter(F.col("ref_count") > 0).select("id", "user_id"))
+            orphans = merged.filter(F.col("ref_count") <= 0).select("id", "user_id")
+            rc_content = merged.filter(F.col("ref_count") > 0).select(
+                doc_bucket_expr(F.col("id"), cfg.num_partitions).alias("rbucket"),
+                "id", "user_id", "ref_count")
+            write_buckets = list(range(cfg.num_partitions)) if legacy else touched_ids
+            return firsts, orphans, rc_content, write_buckets
 
         if cfg.embed_documents:
-            # touched doc buckets: firsts ⊆ added and orphans ⊆ removed, so
-            # the added∪removed id buckets are an exact cover — and this ONE
-            # small job doubles as the materialization point of the added/
-            # removed caches, so the concurrent sinks below all start from
-            # hot caches instead of racing to compute the diff three times
-            orphan_keys = orphans.select(doc_key_expr(F.col("id")).alias("id"))
-            new_docs = (
-                firsts.join(
-                    extracted.select("file_url", "user_id", "id", "obj_json",
-                                     "types", "type_list", "essential_text", "site_url"),
-                    ["file_url", "user_id", "id"],
+            def docs_for(firsts: DataFrame, orphans: DataFrame,
+                         touched_docs: list[int]) -> DataFrame:
+                orphan_keys = orphans.select(doc_key_expr(F.col("id")).alias("id"))
+                new_docs = (
+                    firsts.join(
+                        extracted.select("file_url", "user_id", "id", "obj_json",
+                                         "types", "type_list", "essential_text",
+                                         "site_url"),
+                        ["file_url", "user_id", "id"],
+                    )
+                    # F3: BreadcrumbList objects are never indexed. Exact
+                    # element match on the @type list (worker.py:221-226) — a
+                    # substring test on the display string would wrongly skip
+                    # e.g. `BreadcrumbListItem`.
+                    .filter(~F.array_contains("type_list", "BreadcrumbList"))
+                    .withColumn("bucket",
+                                doc_bucket_expr(F.col("id"), cfg.num_partitions))
+                    # bucket-align the ~1 KB pre-embed rows BEFORE the embed
+                    # projection, salted so a hot host's bucket spreads over
+                    # several tasks: the explicit repartition sets the embed
+                    # stage's parallelism (AQE would under-coalesce ahead of
+                    # the 6 KB/row expansion) and the 6 KB embedded rows are
+                    # never shuffled again — the bucket write below is
+                    # pre_partitioned (files per bucket ≤ salt width)
+                    .repartition(cfg.num_partitions * 2, F.col("bucket"),
+                                 F.pmod(F.hash("id"), F.lit(8)))
+                    .select(
+                        "bucket",
+                        doc_key_expr(F.col("id")).alias("id"),
+                        F.col("id").alias("url"),
+                        F.col("site_url").alias("site"),
+                        F.col("types").alias("type"),
+                        F.col("obj_json").alias("content"),
+                        F.col("essential_text"),
+                        F.lit(fr.epoch_ts(epoch)).alias("timestamp"),
+                        embed_binary_udf(F.col("essential_text")).alias("embedding"),
+                    )
                 )
-                # F3: BreadcrumbList objects are never indexed. Exact element
-                # match on the @type list (worker.py:221-226) — a substring
-                # test on the display string would wrongly skip e.g.
-                # `BreadcrumbListItem`.
-                .filter(~F.array_contains("type_list", "BreadcrumbList"))
-                .withColumn("bucket", doc_bucket_expr(F.col("id"), cfg.num_partitions))
-                # bucket-align the ~1 KB pre-embed rows BEFORE the embed
-                # projection, salted so a hot host's bucket spreads over
-                # several tasks: the explicit repartition sets the embed
-                # stage's parallelism (AQE would under-coalesce ahead of the
-                # 6 KB/row expansion) and the 6 KB embedded rows are never
-                # shuffled again — the bucket write below is pre_partitioned
-                # (files per bucket ≤ salt width, not #tasks)
-                .repartition(cfg.num_partitions * 2, F.col("bucket"),
-                             F.pmod(F.hash("id"), F.lit(8)))
-                .select(
-                    "bucket",
-                    doc_key_expr(F.col("id")).alias("id"),
-                    F.col("id").alias("url"),
-                    F.col("site_url").alias("site"),
-                    F.col("types").alias("type"),
-                    F.col("obj_json").alias("content"),
-                    F.col("essential_text"),
-                    F.lit(fr.epoch_ts(epoch)).alias("timestamp"),
-                    embed_binary_udf(F.col("essential_text")).alias("embedding"),
-                )
-            )
-            def docs_for(touched_docs: list[int]) -> DataFrame:
                 # only the touched doc buckets are read back and rewritten —
                 # untouched embedding bytes (the table's mass) are never moved
                 docs_touched_old = (
@@ -696,26 +752,33 @@ class CrawlEngine:
             # per-epoch lineage is append-only: O(1) write, unioned at read time
             f_metrics = pool.submit(self.store.append, metrics, "metrics", f"{epoch:06d}")
             f_errors = pool.submit(write_errors)
-            f_docs = None
-            if docs_for is not None:
-                # the touched-doc-bucket collect overlaps the four sinks
-                # above; firsts ⊆ added and orphans ⊆ removed make the
-                # added∪removed id buckets an exact cover, and this small
-                # job doubles as the diff-cache materialization point
-                doc_touch = (
-                    added.select(F.col("id").alias("k"))
-                    .unionByName(removed.select(F.col("id").alias("k")))
-                    .select(doc_bucket_expr(F.col("k"), cfg.num_partitions).alias("b"))
-                    .distinct().collect()
-                )
-                touched_docs = sorted(int(r["b"]) for r in doc_touch)
-                f_docs = pool.submit(
-                    self.store.replace_buckets, docs_for(touched_docs),
+            # the touched-id-bucket collect overlaps the four sinks above;
+            # firsts ⊆ added and orphans ⊆ removed make the added∪removed id
+            # buckets an exact cover for both documents and refcounts, and
+            # this small job doubles as the diff-cache materialization point
+            doc_touch = (
+                added.select(F.col("id").alias("k"))
+                .unionByName(removed.select(F.col("id").alias("k")))
+                .select(doc_bucket_expr(F.col("k"), cfg.num_partitions).alias("b"))
+                .distinct().collect()
+            )
+            touched_docs = sorted(int(r["b"]) for r in doc_touch)
+            firsts, orphans, rc_content, rc_buckets = gates_for(touched_docs)
+            f_rc = pool.submit(
+                self.store.replace_buckets, rc_content, "refcounts",
+                rc_buckets, "rbucket")
+            f_docs = (
+                pool.submit(
+                    self.store.replace_buckets,
+                    docs_for(firsts, orphans, touched_docs),
                     "documents", touched_docs, "bucket", True)
+                if docs_for is not None else None
+            )
             versions["url_seen"] = f_seen.result()
             versions["frontier"] = f_frontier.result()
             if f_docs is not None:
                 versions["documents"] = f_docs.result()
+            versions["refcounts"] = f_rc.result()
             if f_blooms is not None:
                 versions["blooms"] = f_blooms.result()
             ev = f_errors.result()

@@ -98,6 +98,16 @@ METRICS = StructType([
     StructField("ts", TimestampType(), True),
 ])
 
+#: incremental materialization of `url_seen GROUP BY (id, user_id)` — the
+#: reference's ref-count query (db.py:278-282) as a maintained view, bucketed
+#: by the id's host bucket so each epoch merges only its own buckets' deltas
+REFCOUNTS = StructType([
+    StructField("rbucket", IntegerType(), True),
+    StructField("id", StringType(), False),
+    StructField("user_id", StringType(), False),
+    StructField("ref_count", LongType(), False),
+])
+
 #: per-file error history — reference processing_errors (db.py:126-137);
 #: cleared for a file when it later processes successfully (db.py:161-168)
 PROCESSING_ERRORS = StructType([

@@ -33,6 +33,23 @@ def build_engine(spark, tmp_path, pages, **cfg_kwargs):
     return CrawlEngine(spark, SnapshotStore(tmp_path / "state"), pages, cfg)
 
 
+def assert_refcounts_consistent(engine):
+    """Invariant: the maintained `refcounts` view must equal
+    url_seen GROUP BY (id, user_id) exactly, after any sequence of ops."""
+    want = {
+        (r["id"], r["user_id"]): r["n"]
+        for r in engine.url_seen().groupBy("id", "user_id")
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    got = {
+        (r["id"], r["user_id"]): r["ref_count"]
+        for r in engine.store.read(engine.spark, "refcounts").collect()
+    } if engine.store.exists("refcounts") else {}
+    assert got == want, (
+        f"refcounts drifted: {len(got)} rows vs {len(want)} expected; "
+        f"sample diff {list(set(got.items()) ^ set(want.items()))[:3]}")
+
+
 def engine_state(engine):
     seen = {
         (r["file_url"], r["user_id"], r["id"])
@@ -155,6 +172,7 @@ def test_dynamic_add_remove_phases(spark, tmp_path):
         seen, docs = engine_state(engine)
         assert seen == oracle.url_seen, f"phase {chunk_ids}"
         assert set(docs) == set(oracle.documents), f"phase {chunk_ids}"
+        assert_refcounts_consistent(engine)
 
     # removal invariants (test_file_removal.py analogue): chunk1 inactive, 0 ids
     frontier = engine.frontier()
@@ -284,6 +302,7 @@ def test_delete_site_wipes_ids_and_documents(spark, tmp_path, small_corpus):
     seeds_left = engine.store.read(spark, "seeds").collect()
     assert victim not in {r["site_url"] for r in seeds_left}
     assert len(seeds_left) == N_SITES - 1
+    assert_refcounts_consistent(engine)
 
 
 def _page(url, body):
