@@ -423,7 +423,10 @@ class CrawlEngine:
             pending, robots, cfg.per_host_budget, cfg.salt_buckets, cfg.epoch_window_s
         )
         selected = politeness.salted_repartition(selected, cfg.num_partitions, cfg.salt_buckets)
-        selected.cache()
+        # pin the selection to scratch (not cache): several downstream plans
+        # reference it, and a flat parquet read keeps their analyzed trees
+        # shallow — see the added/removed pinning note below
+        selected = self.store.materialize(self.spark, selected, "selected_epoch")
         # ONE job yields both the termination count and the epoch's touched
         # host buckets (every frontier/url_seen mutation this epoch lives in
         # a selected row's bucket — the bucket-replace write set)
@@ -431,7 +434,6 @@ class CrawlEngine:
         rep.selected = sum(r["count"] for r in host_counts)
         touched = sorted(int(r["host_hash"]) for r in host_counts)
         if rep.selected == 0:
-            selected.unpersist()
             rep.wall_s = _time.time() - t0
             return rep
 
@@ -498,14 +500,25 @@ class CrawlEngine:
             self.store.read_buckets(self.spark, "blooms", only=touched)
             if cfg.use_bloom and self.store.exists("blooms") else None
         )
-        added = seen.anti_join_new_ids(
+        added_df = seen.anti_join_new_ids(
             ext_ids, existing, use_bloom=cfg.use_bloom, blooms=persisted_blooms)
-        removed = existing.select("file_url", "user_id", "id").join(
+        removed_df = existing.select("file_url", "user_id", "id").join(
             ext_ids, ["file_url", "user_id", "id"], "left_anti"
         )
-        added.cache(); removed.cache()
+        # pin the (small) diffs to scratch: SIX downstream sinks reference
+        # them, and a cache() would leave each sink's logical plan carrying
+        # the full bloom+anti-join lineage — the driver re-analyzes and
+        # re-optimizes that deep tree per action (cache shortcuts execution,
+        # not planning). Flat parquet reads keep every sink's plan shallow:
+        # fixed driver cost per epoch stays O(1) in pipeline depth.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pre:
+            f_add = pre.submit(self.store.materialize, self.spark, added_df, "added_epoch")
+            f_rem = pre.submit(self.store.materialize, self.spark, removed_df, "removed_epoch")
+            added, removed = f_add.result(), f_rem.result()
         if cfg.collect_stats:
-            rep.ids_added = added.count()
+            rep.ids_added = added.count()   # parquet footer counts — no recompute
             rep.ids_removed = removed.count()
 
         # new content of the touched url_seen buckets (other buckets: zero I/O)
@@ -754,8 +767,8 @@ class CrawlEngine:
             f_errors = pool.submit(write_errors)
             # the touched-id-bucket collect overlaps the four sinks above;
             # firsts ⊆ added and orphans ⊆ removed make the added∪removed id
-            # buckets an exact cover for both documents and refcounts, and
-            # this small job doubles as the diff-cache materialization point
+            # buckets an exact cover for both documents and refcounts (a
+            # trivial scan now — the diffs are pinned scratch parquet)
             doc_touch = (
                 added.select(F.col("id").alias("k"))
                 .unionByName(removed.select(F.col("id").alias("k")))
@@ -802,8 +815,6 @@ class CrawlEngine:
             "ids_added": rep.ids_added, "ids_removed": rep.ids_removed,
         })
 
-        for df in (selected, added, removed):
-            df.unpersist()
         rep.wall_s = _time.time() - t0
         return rep
 
