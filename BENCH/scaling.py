@@ -169,10 +169,12 @@ All runs (urls/sec): N = {result["all_runs"][str(N)]}, 4N = {result["all_runs"][
 ## Host-environment context (measured in the same window)
 
 Aggregate memcpy bandwidth: {bw["1"]} GB/s × 1 proc, {bw[str(N)]} GB/s × {N} procs,
-{bw[str(FOUR_N)]} GB/s × {FOUR_N} procs (window scaling ratio
-{bw["window_ratio"]}; runs are gated on ratio ≥ {WINDOW_MIN_RATIO} so the
-measurement happens in a window where the host can physically scale
-memory {FOUR_N}-ways at all). This sandbox VM's memory bandwidth
+{bw[str(FOUR_N)]} GB/s × {FOUR_N} procs — window scaling ratio
+{bw["window_ratio"]}. The harness gates on ratio ≥ {WINDOW_MIN_RATIO} (a
+window where the host can physically scale memory {FOUR_N}-ways);
+{"this run waited out a sane window" if bw["window_ratio"] >= WINDOW_MIN_RATIO
+ else "NO such window appeared within the wait budget, so this measurement ran with host bandwidth flat across process counts — any efficiency achieved is from compute-stage scaling alone, with zero bandwidth tailwind"}.
+This sandbox VM's memory bandwidth
 saturates (and under neighbor load *decreases*) well below {FOUR_N} cores, so
 bandwidth-bound stages (Arrow transfer, parquet encode of the 1536-dim
 embedding column, large shuffles) cannot exhibit linear core-scaling here
