@@ -520,13 +520,17 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     # (empty/near-empty texts) would fan out quadratically in the self-join;
     # drop it, same as the df<=100 stop-shingle cut in ngram_jaccard. Real
     # near-dup clusters this large are resolved by exact dedup upstream.
-    rare_bands = (
+    # The over-cap (hot) list is tiny by construction — each hot band holds
+    # > _BUCKET_CAP docs, so there are at most n/_BUCKET_CAP of them — so
+    # broadcast it and anti-join; the probe side of `bands` then needs no
+    # extra Exchange (vs the rare-list semi-join, which reshuffled all bands).
+    hot_bands = (
         bands.groupBy("band_idx", "band_val")
         .agg(F.count(F.lit(1)).alias("bdf"))
-        .filter(F.col("bdf") <= _BUCKET_CAP)
+        .filter(F.col("bdf") > _BUCKET_CAP)
         .select("band_idx", "band_val")
     )
-    bands = bands.join(rare_bands, ["band_idx", "band_val"], "left_semi")
+    bands = bands.join(F.broadcast(hot_bands), ["band_idx", "band_val"], "left_anti")
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -552,9 +556,9 @@ tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM base),
 sh AS (SELECT doc_id, {_SHINGLES_DUCK} AS shingles FROM tok),
 mh AS (SELECT doc_id, {_MH_DUCK} FROM sh),
 bands0 AS ({_BANDS_DUCK}),
-rareb AS (SELECT band_idx, band_val FROM bands0
-          GROUP BY 1, 2 HAVING count(*) <= {_BUCKET_CAP}),
-bands AS (SELECT bands0.* FROM bands0 JOIN rareb USING (band_idx, band_val))
+hotb AS (SELECT band_idx, band_val FROM bands0
+         GROUP BY 1, 2 HAVING count(*) > {_BUCKET_CAP}),
+bands AS (SELECT bands0.* FROM bands0 ANTI JOIN hotb USING (band_idx, band_val))
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
 FROM bands a JOIN bands b
   ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
@@ -563,31 +567,38 @@ GROUP BY 1, 2
 
 # ---- SimHash ---------------------------------------------------------
 
-_TOKEN_HASH_SPARK = "cast(conv(substr(md5(token), 1, 8), 16, 10) AS BIGINT)"
 _TOKEN_HASH_DUCK = "('0x' || substr(md5(token), 1, 8))::BIGINT"
+
+
+_SIMHASH_FOLD_SPARK = """
+aggregate(
+  zip_with(
+    aggregate(
+      transform(split(text, ' '), t -> cast(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT)),
+      array_repeat(cast(0 AS BIGINT), 32),
+      (acc, hv) -> zip_with(acc, sequence(0, 31),
+                            (a, b) -> a + (CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END))
+    ),
+    sequence(0, 31),
+    (v, b) -> CASE WHEN v > 0 THEN shiftleft(cast(1 AS BIGINT), b) ELSE cast(0 AS BIGINT) END
+  ),
+  cast(0 AS BIGINT),
+  (s, x) -> s + x
+)
+"""
 
 
 def _simhash_df(spark, sf_dir, base: DataFrame) -> DataFrame:
     """32-bit SimHash per doc: per-token md5→int, per-bit ±1 votes, sign bit.
 
-    Pure relational (explode + two hash aggs) so both engines agree exactly;
-    at scale the token explosion stays partition-local until the groupBy.
+    One scan-side `aggregate()` higher-order fold over the token array holds
+    all 32 vote counters per doc — zero shuffle and no tokens×32 row
+    explosion (the round-2 version shuffled docs×32 `(doc_id, b)` vote rows,
+    which at 10^10 docs is 3.2×10^11 shuffle rows for a per-doc computation).
+    The DuckDB oracle keeps the relational explode formulation; both compute
+    identical md5-derived votes, so the results agree bit-for-bit.
     """
-    toks = base.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
-    hashed = toks.select("doc_id", F.expr(_TOKEN_HASH_SPARK).alias("hv"))
-    bits = hashed.select(
-        "doc_id", "hv", F.explode(F.expr("sequence(0, 31)")).alias("b")
-    )
-    votes = bits.groupBy("doc_id", "b").agg(
-        F.sum(
-            F.when(F.expr("(hv >> b) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))
-        ).alias("vote")
-    )
-    return votes.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("vote") > 0, F.expr("cast(1 as bigint) << b")).otherwise(F.lit(0))
-        ).alias("simhash")
-    )
+    return base.select("doc_id", F.expr(_SIMHASH_FOLD_SPARK).alias("simhash"))
 
 
 def q_dedup_simhash(spark, sf_dir):
@@ -685,8 +696,10 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
         .withColumn("shingles", F.expr(_SHINGLES_SPARK))
         .select("doc_id", F.explode(F.array_distinct("shingles")).alias("s"))
     )
-    rare = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") <= 100)
-    sh = sh.join(rare.select("s"), "s", "left_semi")
+    # hot-shingle stop cut: the over-cap list is tiny (≤ n/100 shingles), so
+    # broadcast+anti-join — no reshuffling of the full (doc, shingle) table.
+    hot = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") > 100)
+    sh = sh.join(F.broadcast(hot.select("s")), "s", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -707,8 +720,8 @@ WITH base AS ({_SQL_DOUBLED_NEAR}),
 tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM base),
 shl AS (SELECT doc_id, {_SHINGLES_DUCK} AS shingles FROM tok),
 sh0 AS (SELECT DISTINCT doc_id, unnest(shingles) AS s FROM shl),
-rare AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 100),
-sh AS (SELECT sh0.* FROM sh0 JOIN rare USING (s)),
+hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 100),
+sh AS (SELECT sh0.* FROM sh0 ANTI JOIN hot USING (s)),
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter_sz

@@ -133,6 +133,30 @@ def test_pair_queries_have_no_cartesian_plan(name, spark, sf_dir):
         assert bad not in plan, f"{name}: {bad} in physical plan — all-pairs join"
 
 
+def test_simhash_is_scan_side(spark, sf_dir):
+    """The SimHash signature must be a pure scan-side fold: zero Exchange.
+
+    Round 2 shipped an explode-based version that shuffled docs×32
+    (doc_id, bit) vote rows — 3.2e11 shuffle rows at 1e10 docs. The
+    aggregate() fold computes all 32 vote counters per doc in one pass.
+    """
+    fn, _ = CATALOG["dedup_simhash"]
+    plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, f"dedup_simhash shuffles:\n{plan}"
+
+
+@pytest.mark.parametrize("name", ["dedup_minhash_lsh", "dedup_ngram_jaccard"])
+def test_stop_cut_is_broadcast_anti(name, spark, sf_dir):
+    """The hot-bucket stop cut must be a broadcast anti-join, not a semi-join
+    against the (huge) rare list — the semi-join reshuffled the full bands /
+    shingles table a second time (round-2 regression, +38% on minhash)."""
+    fn, _ = CATALOG[name]
+    plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" not in plan, f"{name}: semi-join stop cut is back:\n{plan}"
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, (
+        f"{name}: hot-list cut is not a broadcast anti-join:\n{plan}")
+
+
 def test_readme_catalog_count_matches():
     """Doc-drift guard: README's advertised catalog size == len(CATALOG)."""
     import re
