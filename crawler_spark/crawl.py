@@ -98,13 +98,31 @@ class CrawlEngine:
         store: SnapshotStore,
         pages: DataFrame,
         config: CrawlConfig | None = None,
+        fetcher=None,
     ):
+        """``fetcher``: optional production fetch stage — a callable
+        ``jobs_df -> DataFrame`` with :data:`crawler_spark.sources.
+        http_fetch.FETCHED_SCHEMA` columns (e.g. ``functools.partial(
+        fetch_pages, transport_factory=...)``). ``None`` keeps the
+        deterministic pages-join stand-in."""
         self.spark = spark
         self.store = store
         self.cfg = config or CrawlConfig()
+        self._fetcher = fetcher
         # Column-pruned page projections; bodies only where needed.
         self._pages = pages
         self._page_bodies = pages.select("url", "html")
+        # The bucket modulus is baked into every bucketed table's layout;
+        # opening an existing store with a different value would silently
+        # misroute read_buckets/replace_buckets (data loss). Fail fast on
+        # mismatch; adopt the config value for legacy stores missing it.
+        pinned = store.get_meta("num_partitions")
+        if pinned is not None and int(pinned) != self.cfg.num_partitions:
+            raise ValueError(
+                f"store was laid out with num_partitions={pinned}; config "
+                f"says {self.cfg.num_partitions} — refusing to misroute buckets")
+        if pinned is None and store.exists("frontier"):
+            store.set_meta(num_partitions=self.cfg.num_partitions)
 
     # ------------------------------------------------------------------
     # bootstrap / state access
@@ -123,10 +141,59 @@ class CrawlEngine:
             "frontier": self.store.replace_buckets(empty_frontier, "frontier", touched=[]),
             "url_seen": self.store.replace_buckets(empty_seen, "url_seen", touched=[]),
         }
+        self.store.set_meta(num_partitions=self.cfg.num_partitions)
         self.store.commit(epoch=-1, table_versions=versions)
 
+    # -- frontier bucket families -------------------------------------
+    #
+    # The frontier is bucketed by STATUS FAMILY as well as host: pending
+    # rows live in buckets [0, P), settled rows (done / error / inactive)
+    # in [P, 2P), where P = num_partitions. Epoch selection reads only the
+    # pending family, so its input stays O(pending) instead of
+    # O(all-ever-crawled) — at steady state on a 10^10-URL frontier the
+    # done rows are the overwhelming mass and are never scanned. Rows
+    # migrate between families when their bucket is rewritten (every write
+    # recomputes ``fbucket`` and touches both families of each host).
+
+    @staticmethod
+    def _drop_fbucket(df: DataFrame) -> DataFrame:
+        return df.drop("fbucket") if "fbucket" in df.columns else df
+
+    def _frontier_fbucket(self, df: DataFrame) -> DataFrame:
+        settled = (~F.col("is_active")) | (F.col("status") != F.lit("pending"))
+        return df.withColumn(
+            "fbucket",
+            (F.col("host_hash")
+             + F.when(settled, F.lit(self.cfg.num_partitions)).otherwise(F.lit(0))
+             ).cast("int"))
+
+    def _frontier_touched(self, hosts) -> list[int]:
+        hs = {int(h) for h in hosts}
+        return sorted(hs | {h + self.cfg.num_partitions for h in hs})
+
+    def _write_frontier(self, updated: DataFrame, hosts) -> dict:
+        """Replace both status families of the ``hosts`` buckets.
+        ``updated`` must hold those hosts' complete new rows."""
+        return self.store.replace_buckets(
+            self._frontier_fbucket(updated), "frontier",
+            self._frontier_touched(hosts), "fbucket")
+
     def frontier(self) -> DataFrame:
-        return self.store.read(self.spark, "frontier")
+        return self._drop_fbucket(self.store.read(self.spark, "frontier"))
+
+    def pending_frontier(self) -> DataFrame:
+        """The pending-family view — reads only buckets [0, P). Legacy
+        mixed buckets (pre-family stores) also live below P, so the status
+        filter stays; they get split into families on their next write."""
+        df = self._drop_fbucket(self.store.read_buckets(
+            self.spark, "frontier", only=list(range(self.cfg.num_partitions))))
+        return df.filter((F.col("status") == "pending") & F.col("is_active"))
+
+    def _frontier_for_hosts(self, hosts) -> DataFrame:
+        """Both families of the ``hosts`` buckets — the exact row set a
+        bucket-replacing write must re-emit. O(touched), not O(frontier)."""
+        return self._drop_fbucket(self.store.read_buckets(
+            self.spark, "frontier", only=self._frontier_touched(hosts)))
 
     def url_seen(self) -> DataFrame:
         return self.store.read(self.spark, "url_seen")
@@ -247,7 +314,7 @@ class CrawlEngine:
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=3) as pool:
-            f_frontier = pool.submit(self.store.replace_buckets, updated, "frontier", touched)
+            f_frontier = pool.submit(self._write_frontier, updated, touched)
             f_seeds = pool.submit(self.store.write, stamped, "seeds")
             f_robots = pool.submit(self.store.write, self._robots_state, "robots")
             v, sv, rv = f_frontier.result(), f_seeds.result(), f_robots.result()
@@ -309,7 +376,7 @@ class CrawlEngine:
         touched = [int(r[0]) for r in keyed.select(
             host_hash_expr(host_from_url_expr(F.col("file_url")),
                            self.cfg.num_partitions)).distinct().collect()]
-        v = self.store.replace_buckets(updated, "frontier", touched)
+        v = self._write_frontier(updated, touched)
         self.store.commit(epoch, {"frontier": v},
                           lineage_row={"stage": "manual_add"})
 
@@ -333,7 +400,7 @@ class CrawlEngine:
         ).unionByName(removal_jobs)
         live.cache()
         touched = [int(r[0]) for r in live.select("host_hash").distinct().collect()]
-        v = self.store.replace_buckets(updated, "frontier", touched)
+        v = self._write_frontier(updated, touched)
         live.unpersist()
         self.store.commit(epoch, {"frontier": v},
                           lineage_row={"stage": "manual_remove"})
@@ -345,53 +412,64 @@ class CrawlEngine:
         vector docs of ids whose last reference lived here are deleted, the
         J8 semi-delete done site-wide)."""
         site_pred = (F.col("site_url") == site_url) & (F.col("user_id") == user_id)
-        frontier_df = self.frontier()
-        victim_rows = frontier_df.filter(site_pred).cache()
+        victim_rows = self.frontier().filter(site_pred).cache()
         site_files = victim_rows.select("file_url", "user_id").distinct()
         touched = [int(r[0]) for r in victim_rows.select("host_hash").distinct().collect()]
 
-        seen_df = self.url_seen()
-        doomed = seen_df.join(site_files, ["file_url", "user_id"], "left_semi").cache()
-        seen_after = seen_df.join(site_files, ["file_url", "user_id"], "left_anti")
-        orphans = seen.orphaned_ids(
-            doomed.select("file_url", "user_id", "id"), seen_after).cache()
-        orphan_keys = orphans.select(doc_key_expr(F.col("id")).alias("id"))
-        touched_docs = [int(r[0]) for r in orphans.select(
-            doc_bucket_expr(F.col("id"), self.cfg.num_partitions)).distinct().collect()]
+        # O(touched): the site's seen rows live exactly in its files' host
+        # buckets — never scan the global seen set for a site delete
+        seen_touched = self.store.read_buckets(self.spark, "url_seen", only=touched)
+        doomed = seen_touched.join(site_files, ["file_url", "user_id"], "left_semi").cache()
+        seen_after = seen_touched.join(site_files, ["file_url", "user_id"], "left_anti")
 
-        frontier_after = frontier_df.filter(~site_pred)
-        seeds_after = self.store.read(self.spark, "seeds").filter(~site_pred)
-
-        versions = {
-            "url_seen": self.store.replace_buckets(seen_after, "url_seen", touched),
-            "frontier": self.store.replace_buckets(frontier_after, "frontier", touched),
-            "seeds": self.store.write(seeds_after, "seeds"),
-        }
-        if self.store.exists("documents"):
-            docs_after = self.documents().join(orphan_keys, "id", "left_anti")
-            versions["documents"] = self.store.replace_buckets(
-                docs_after, "documents", touched_docs, bucket_col="bucket")
+        rc_delta = doomed.groupBy("id", "user_id").agg(
+            (-F.count(F.lit(1))).alias("delta"))
+        rc_content = None
+        rc_buckets: list[int] = []
         if self.store.exists("refcounts"):
-            # decrement the deleted rows out of the maintained ref-count view
+            # orphans (last reference lived here → count reaches 0) come from
+            # the maintained refcounts view: read only the doomed ids'
+            # buckets and subtract the doomed counts — O(touched ids), the
+            # same merge the epoch gates use, instead of an O(corpus)
+            # distinct anti-join over the full seen set.
             rc_buckets = [int(r[0]) for r in doomed.select(
                 doc_bucket_expr(F.col("id"), self.cfg.num_partitions)).distinct().collect()]
             rc_old = self.store.read_buckets(
                 self.spark, "refcounts", only=rc_buckets
             ).select("id", "user_id", "ref_count")
-            rc_delta = doomed.groupBy("id", "user_id").agg(
-                (-F.count(F.lit(1))).alias("delta"))
-            rc_content = (
-                rc_old.join(rc_delta, ["id", "user_id"], "left")
-                .select(
-                    "id", "user_id",
-                    (F.col("ref_count") + F.coalesce(F.col("delta"), F.lit(0)))
-                    .alias("ref_count"))
-                .filter(F.col("ref_count") > 0)
-                .select(
-                    doc_bucket_expr(F.col("id"), self.cfg.num_partitions)
-                    .alias("rbucket"),
-                    "id", "user_id", "ref_count")
-            )
+            merged = rc_old.join(rc_delta, ["id", "user_id"], "left").select(
+                "id", "user_id",
+                (F.col("ref_count") + F.coalesce(F.col("delta"), F.lit(0)))
+                .alias("ref_count"))
+            orphans = merged.filter(F.col("ref_count") <= 0).select("id", "user_id").cache()
+            rc_content = merged.filter(F.col("ref_count") > 0).select(
+                doc_bucket_expr(F.col("id"), self.cfg.num_partitions).alias("rbucket"),
+                "id", "user_id", "ref_count")
+        else:
+            # legacy store without the maintained view: one-time full diff
+            orphans = seen.orphaned_ids(
+                doomed.select("file_url", "user_id", "id"),
+                self.url_seen().join(site_files, ["file_url", "user_id"], "left_anti"),
+            ).cache()
+        orphan_keys = orphans.select(doc_key_expr(F.col("id")).alias("id"))
+        touched_docs = [int(r[0]) for r in orphans.select(
+            doc_bucket_expr(F.col("id"), self.cfg.num_partitions)).distinct().collect()]
+
+        frontier_keep = self._frontier_for_hosts(touched).filter(~site_pred)
+        seeds_after = self.store.read(self.spark, "seeds").filter(~site_pred)
+
+        versions = {
+            "url_seen": self.store.replace_buckets(seen_after, "url_seen", touched),
+            "frontier": self._write_frontier(frontier_keep, touched),
+            "seeds": self.store.write(seeds_after, "seeds"),
+        }
+        if self.store.exists("documents"):
+            docs_after = self.store.read_buckets(
+                self.spark, "documents", only=touched_docs
+            ).join(orphan_keys, "id", "left_anti")
+            versions["documents"] = self.store.replace_buckets(
+                docs_after, "documents", touched_docs, bucket_col="bucket")
+        if rc_content is not None:
             versions["refcounts"] = self.store.replace_buckets(
                 rc_content, "refcounts", rc_buckets, "rbucket")
         for df in (victim_rows, doomed, orphans):
@@ -410,8 +488,10 @@ class CrawlEngine:
         rep = EpochReport(epoch=epoch)
         cfg = self.cfg
 
-        frontier_df = self.frontier()
-        pending = frontier_df.filter((F.col("status") == "pending") & F.col("is_active"))
+        # O(pending) selection input: reads only the pending-family buckets
+        # (see _frontier_fbucket) — done/error rows, the corpus mass at
+        # steady state, are pruned by path, not by filter
+        pending = self.pending_frontier()
 
         robots = (
             self.store.read(self.spark, "robots").select("host", "crawl_delay")
@@ -441,19 +521,37 @@ class CrawlEngine:
         removal_jobs = selected.filter(F.col("job_type") == "process_removed_file")
 
         # --- fetch (S1) + extract (C4/C6): ONE streaming pass over page
-        # bodies — fetch-join → Arrow extract kernel (metadata passed through
-        # in the same batch) → scratch parquet. The html bytes are consumed
-        # exactly once and NEVER cached: at 100× page sizes a pinned body
-        # cache evicts or spills mid-epoch, so only the extracted text (the
-        # scratch) is pinned, and every downstream sink derives from it.
-        fetched = (
-            fetch_jobs.select("file_url", "user_id", "site_url", "queued_at")
-            .join(self._page_bodies.withColumnRenamed("url", "file_url"), "file_url", "left")
-        )
+        # bodies — fetch stage → Arrow extract kernel (metadata passed
+        # through in the same batch) → scratch parquet. The html bytes are
+        # consumed exactly once and NEVER cached: at 100× page sizes a
+        # pinned body cache evicts or spills mid-epoch, so only the
+        # extracted text (the scratch) is pinned, and every downstream sink
+        # derives from it. Fetch failures flow through the same pass as
+        # marker rows carrying real status_code/fetch_error, so no second
+        # pass or anti-join reconstructs them.
+        jobs_cols = fetch_jobs.select("file_url", "user_id", "site_url", "queued_at")
+        if self._fetcher is not None:
+            fetched = self._fetcher(jobs_cols)  # FETCHED_SCHEMA, real HTTP
+        else:
+            # deterministic pages-join stand-in: missing url ⇒ a 404
+            fetched = (
+                jobs_cols.join(
+                    self._page_bodies.withColumnRenamed("url", "file_url"),
+                    "file_url", "left")
+                .withColumn(
+                    "status_code",
+                    F.when(F.col("html").isNotNull(), F.lit(200)).otherwise(F.lit(404)))
+                .withColumn(
+                    "fetch_error",
+                    F.when(
+                        F.col("html").isNull(),
+                        F.concat(F.lit("HTTP 404: "), F.col("file_url"),
+                                 F.lit(" not available in source"))))
+            )
         extracted_raw = (
-            fetched.filter(F.col("html").isNotNull())
-            .select("file_url", F.col("html").alias("body"),
-                    "user_id", "site_url", "queued_at")
+            fetched.select("file_url", F.col("html").alias("body"),
+                           "user_id", "site_url", "queued_at",
+                           "status_code", "fetch_error")
             .mapInPandas(explode_jsonld_with_meta, schema=EXTRACTED_META_SCHEMA)
             .withColumn("partition_id", F.spark_partition_id())
         )
@@ -463,22 +561,23 @@ class CrawlEngine:
             "extracted_epoch",
         )
         extracted = scratch.filter(F.col("id").isNotNull())
-        # every fetched-ok file appears in scratch (marker rows included), so
-        # fetch failures fall out of the pinned scratch — no second body scan
-        ok_keys = scratch.select("file_url", "user_id").distinct()
-        failed = fetch_jobs.select("file_url", "user_id").join(
-            ok_keys, ["file_url", "user_id"], "left_anti")
         if cfg.collect_stats:
             rep.ids_extracted = extracted.count()
 
-        # fetch accounting for metrics (A6): bytes + ids per url
-        # (null-id marker rows keep zero-object files in the accounting)
+        # fetch accounting for metrics (A6): bytes + ids + status per url
+        # (null-id marker rows keep zero-object AND failed files in the
+        # accounting — exactly one per_file row per selected fetch job)
         per_file = scratch.groupBy("file_url", "user_id").agg(
             F.max("num_ids").alias("num_ids"),
             F.first("partition_id").alias("partition_id"),
             F.max("content_length").alias("content_length"),
             F.max("error").alias("extract_error"),
+            F.max("status_code").alias("status_code"),
+            F.max("fetch_error").alias("fetch_error"),
         )
+        ok_files = per_file.filter(F.col("fetch_error").isNull())
+        failed = per_file.filter(F.col("fetch_error").isNotNull())
+        ok_keys = ok_files.select("file_url", "user_id")
 
         # --- seen-set maintenance (J3/J4 + A1), incl. removed-file wipes ---
         # per-file diffs live entirely in the touched host buckets: read ONLY
@@ -574,9 +673,8 @@ class CrawlEngine:
             return firsts, orphans, rc_content, write_buckets
 
         if cfg.embed_documents:
-            def docs_for(firsts: DataFrame, orphans: DataFrame,
+            def docs_for(firsts: DataFrame, orphan_keys: DataFrame,
                          touched_docs: list[int]) -> DataFrame:
-                orphan_keys = orphans.select(doc_key_expr(F.col("id")).alias("id"))
                 new_docs = (
                     firsts.join(
                         extracted.select("file_url", "user_id", "id", "obj_json",
@@ -626,49 +724,40 @@ class CrawlEngine:
             docs_for = None
 
         # --- frontier transitions + metrics ---
-        # per_file covers every fetched-ok file (zero-object files included
-        # via the extract kernel's marker rows), so `done` reads straight off
-        # the materialized scratch — no second pass over the fetch join.
+        # per_file covers every selected fetch job (zero-object and failed
+        # files included via the extract kernel's marker rows), so `done`
+        # and `failed` read straight off the materialized scratch — no
+        # second pass over the fetch stage. Only the touched hosts' buckets
+        # (both status families) are read and rewritten: O(touched), not
+        # O(frontier).
         done = (
-            per_file.select(
+            ok_files.select(
                 "file_url", "user_id",
                 F.col("num_ids").cast("int").alias("number_of_items"))
             .withColumn("job_type", F.lit("process_file"))
         )
         frontier_after = fr.transition(
-            frontier_df,
+            self._frontier_for_hosts(touched),
             done=done,
-            failed=failed.withColumn("job_type", F.lit("process_file")),
+            failed=failed.select("file_url", "user_id")
+            .withColumn("job_type", F.lit("process_file")),
             deactivated=removal_jobs.select(
                 "file_url", "user_id", F.lit("process_removed_file").alias("job_type")),
             epoch=epoch,
         )
 
-        fetch_err_msg = F.concat(
-            F.lit("HTTP 404: "), F.col("file_url"), F.lit(" not available in source"))
-        metrics = (
-            per_file.select(
-                F.lit(epoch).alias("epoch"),
-                F.col("partition_id"),
-                F.col("file_url").alias("url"),
-                F.lit(200).alias("status_code"),
-                F.col("content_length"),
-                F.col("num_ids").cast("int").alias("num_ids_extracted"),
-                F.col("extract_error").alias("error"),
-                F.lit(fr.epoch_ts(epoch)).cast("timestamp").alias("ts"),
-            )
-            .unionByName(
-                failed.select(
-                    F.lit(epoch).alias("epoch"),
-                    F.lit(None).cast("int").alias("partition_id"),
-                    F.col("file_url").alias("url"),
-                    F.lit(404).alias("status_code"),
-                    F.lit(None).cast("long").alias("content_length"),
-                    F.lit(0).alias("num_ids_extracted"),
-                    fetch_err_msg.alias("error"),
-                    F.lit(fr.epoch_ts(epoch)).cast("timestamp").alias("ts"),
-                )
-            )
+        # real transport status/error per url (the join stand-in synthesizes
+        # 200/404; the HTTP kernel reports DNS/timeout/5xx faithfully)
+        metrics = per_file.select(
+            F.lit(epoch).alias("epoch"),
+            F.col("partition_id"),
+            F.col("file_url").alias("url"),
+            F.col("status_code"),
+            F.when(F.col("fetch_error").isNull(), F.col("content_length"))
+            .alias("content_length"),
+            F.col("num_ids").cast("int").alias("num_ids_extracted"),
+            F.coalesce(F.col("fetch_error"), F.col("extract_error")).alias("error"),
+            F.lit(fr.epoch_ts(epoch)).cast("timestamp").alias("ts"),
         )
 
         # --- processing_errors analogue (db.py:126-168): real messages,
@@ -678,7 +767,7 @@ class CrawlEngine:
             failed.select(
                 "file_url", "user_id",
                 F.lit("fetch_error").alias("error_type"),
-                fetch_err_msg.alias("error_message"),
+                F.col("fetch_error").alias("error_message"),
                 F.lit(None).cast("string").alias("error_details"),
                 ts_lit.alias("occurred_at"),
                 F.lit(epoch).alias("epoch"),
@@ -694,7 +783,7 @@ class CrawlEngine:
                 )
             )
         )
-        succeeded = per_file.filter(F.col("extract_error").isNull()).select(
+        succeeded = ok_files.filter(F.col("extract_error").isNull()).select(
             "file_url", "user_id")
         from crawler_spark.schema import PROCESSING_ERRORS
 
@@ -708,10 +797,6 @@ class CrawlEngine:
         ).unionByName(new_errors)
 
         # --- commit ---
-        docs_before = (
-            self.store.read(self.spark, "documents").count()
-            if cfg.collect_stats and self.store.exists("documents") else 0
-        )
         # ALL sinks run concurrently from driver threads — independent DAGs
         # over the pinned scratch + diff caches, so the short frontier/
         # metrics jobs never wait behind the long documents job and the
@@ -720,15 +805,25 @@ class CrawlEngine:
         # buckets.
         from concurrent.futures import ThreadPoolExecutor
 
+        # cheap emptiness probe on the pinned diffs (scratch parquet
+        # footers): an epoch that re-crawled only unchanged content skips
+        # every id-derived sink — url_seen, blooms, refcounts and documents
+        # keep their current versions and zero bytes move. Only the frontier
+        # transition, metrics and errors sinks always run.
+        diffs_empty = added.isEmpty() and removed.isEmpty()
+
         # incremental Bloom maintenance: OR this epoch's added ids into the
         # touched buckets' blobs — O(added), never a rebuild across epochs.
         # Invariant: a bucket with url_seen rows has a blob (it was touched
         # when the rows landed), so the incremental fold covers a fresh store
         # from its very first epoch. Only a LEGACY store (url_seen data from
         # before the blooms table — detectable from the manifest alone) seeds
-        # its touched blobs from the bucket's full content once.
+        # its touched blobs from the bucket's full content once. (A bucket
+        # that still ends up blob-less — e.g. rows landed under
+        # use_bloom=False — is handled at probe time: no blob ⇒ maybe_seen,
+        # exact anti-join, see operators/seen.py.)
         new_blooms = None
-        if cfg.use_bloom:
+        if cfg.use_bloom and not diffs_empty:
             legacy_seed = (
                 persisted_blooms is None
                 and bool(self.store.bucket_versions("url_seen"))
@@ -753,47 +848,43 @@ class CrawlEngine:
 
         versions = {}
         touched_docs: list[int] = []
+        firsts = orphan_keys = None
         with ThreadPoolExecutor(max_workers=6) as pool:
-            f_seen = pool.submit(
-                self.store.replace_buckets, seen_content, "url_seen", touched)
-            f_blooms = (
-                pool.submit(self.store.replace_buckets, new_blooms, "blooms", touched)
-                if new_blooms is not None else None
-            )
-            f_frontier = pool.submit(
-                self.store.replace_buckets, frontier_after, "frontier", touched)
+            futures = {}
+            if not diffs_empty:
+                futures["url_seen"] = pool.submit(
+                    self.store.replace_buckets, seen_content, "url_seen", touched)
+                if new_blooms is not None:
+                    futures["blooms"] = pool.submit(
+                        self.store.replace_buckets, new_blooms, "blooms", touched)
+            futures["frontier"] = pool.submit(self._write_frontier, frontier_after, touched)
             # per-epoch lineage is append-only: O(1) write, unioned at read time
             f_metrics = pool.submit(self.store.append, metrics, "metrics", f"{epoch:06d}")
             f_errors = pool.submit(write_errors)
-            # the touched-id-bucket collect overlaps the four sinks above;
-            # firsts ⊆ added and orphans ⊆ removed make the added∪removed id
-            # buckets an exact cover for both documents and refcounts (a
-            # trivial scan now — the diffs are pinned scratch parquet)
-            doc_touch = (
-                added.select(F.col("id").alias("k"))
-                .unionByName(removed.select(F.col("id").alias("k")))
-                .select(doc_bucket_expr(F.col("k"), cfg.num_partitions).alias("b"))
-                .distinct().collect()
-            )
-            touched_docs = sorted(int(r["b"]) for r in doc_touch)
-            firsts, orphans, rc_content, rc_buckets = gates_for(touched_docs)
-            f_rc = pool.submit(
-                self.store.replace_buckets, rc_content, "refcounts",
-                rc_buckets, "rbucket")
-            f_docs = (
-                pool.submit(
-                    self.store.replace_buckets,
-                    docs_for(firsts, orphans, touched_docs),
-                    "documents", touched_docs, "bucket", True)
-                if docs_for is not None else None
-            )
-            versions["url_seen"] = f_seen.result()
-            versions["frontier"] = f_frontier.result()
-            if f_docs is not None:
-                versions["documents"] = f_docs.result()
-            versions["refcounts"] = f_rc.result()
-            if f_blooms is not None:
-                versions["blooms"] = f_blooms.result()
+            if not diffs_empty:
+                # the touched-id-bucket collect overlaps the sinks above;
+                # firsts ⊆ added and orphans ⊆ removed make the added∪removed
+                # id buckets an exact cover for both documents and refcounts
+                # (a trivial scan now — the diffs are pinned scratch parquet)
+                doc_touch = (
+                    added.select(F.col("id").alias("k"))
+                    .unionByName(removed.select(F.col("id").alias("k")))
+                    .select(doc_bucket_expr(F.col("k"), cfg.num_partitions).alias("b"))
+                    .distinct().collect()
+                )
+                touched_docs = sorted(int(r["b"]) for r in doc_touch)
+                firsts, orphans, rc_content, rc_buckets = gates_for(touched_docs)
+                orphan_keys = orphans.select(doc_key_expr(F.col("id")).alias("id"))
+                futures["refcounts"] = pool.submit(
+                    self.store.replace_buckets, rc_content, "refcounts",
+                    rc_buckets, "rbucket")
+                if docs_for is not None:
+                    futures["documents"] = pool.submit(
+                        self.store.replace_buckets,
+                        docs_for(firsts, orphan_keys, touched_docs),
+                        "documents", touched_docs, "bucket", True)
+            for name, fut in futures.items():
+                versions[name] = fut.result()
             ev = f_errors.result()
             if ev is not None:
                 versions["errors"] = ev
@@ -802,14 +893,21 @@ class CrawlEngine:
         if cfg.collect_stats:
             rep.fetched_ok = done.count()
             rep.fetch_failed = failed.count()
-            # parquet footer count of the snapshot just written — never
-            # re-runs the embed stage
-            self.store.commit(epoch, versions, lineage_row=None)  # visibility for the read below
-            docs_now = (
-                self.store.read(self.spark, "documents").count()
-                if self.store.exists("documents") else 0
-            )
-            rep.docs_added = docs_now - docs_before
+            # docs delta derived from the gates already in hand (scratch +
+            # touched-bucket reads) — no full-table counts, no extra commit
+            if docs_for is not None and firsts is not None:
+                new_docs_n = (
+                    firsts.join(
+                        extracted.select("file_url", "user_id", "id", "type_list"),
+                        ["file_url", "user_id", "id"])
+                    .filter(~F.array_contains("type_list", "BreadcrumbList"))
+                    .count())
+                deleted_n = (
+                    self.store.read_buckets(self.spark, "documents", only=touched_docs)
+                    .join(orphan_keys, "id", "left_semi").count()
+                    if self.store.exists("documents") else 0)
+                rep.docs_added = new_docs_n - deleted_n
+                rep.docs_deleted = deleted_n
         self.store.commit(epoch, versions, lineage_row={
             "stage": "epoch", "selected": rep.selected, "fetched_ok": rep.fetched_ok,
             "ids_added": rep.ids_added, "ids_removed": rep.ids_removed,

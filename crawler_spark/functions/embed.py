@@ -38,9 +38,30 @@ def _is_rate_limit(msg: str) -> bool:
     return "429" in msg or "RateLimitReached" in msg or "rate limit" in msg.lower()
 
 
+#: set True to reproduce the reference's loose classifier bit-for-bit
+#: (azure_oai_embedding.py:86 matches any message containing "token")
+TOKEN_LIMIT_REFERENCE_PARITY = False
+
+_TOKEN_LIMIT_PHRASES = (
+    "maximum context length",
+    "context length exceeded",
+    "context_length_exceeded",
+    "too many tokens",
+    "token limit",
+)
+
+
 def _is_token_limit(msg: str) -> bool:
-    # reference azure_oai_embedding.py:86
-    return "maximum context length" in msg or "token" in msg.lower()
+    """Context-length errors only. The reference matches any message
+    containing "token" (azure_oai_embedding.py:86), which misclassifies e.g.
+    "invalid authentication token" as a token-limit — the batch then binary-
+    splits to single items and every item silently becomes a zero vector
+    instead of the stage failing. Default: only genuine context-length
+    phrases trigger the split/zero path; everything else raises."""
+    if TOKEN_LIMIT_REFERENCE_PARITY:
+        return "maximum context length" in msg or "token" in msg.lower()
+    low = msg.lower()
+    return any(p in low for p in _TOKEN_LIMIT_PHRASES)
 
 
 def _call_provider(provider, texts, retry_count, max_retries, sleep, dim):

@@ -272,30 +272,49 @@ def explode_jsonld(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 #: :func:`explode_jsonld_with_meta` output — extraction plus the fetch
 #: metadata threaded through the SAME pass, so the epoch scans page bodies
 #: exactly once and never caches them (bytes stream kernel → scratch).
+#: ``status_code``/``fetch_error`` come from the fetch stage (real values
+#: from the HTTP kernel, synthesized 200/404 from the pages-join stand-in)
+#: so fetch failures land in the scratch too — the epoch needs no second
+#: pass or anti-join to find them, and metrics/processing_errors report the
+#: transport's actual error instead of a hardcoded 404.
 EXTRACTED_META_SCHEMA = (
     EXTRACTED_SCHEMA + ", user_id string, site_url string, "
-    "queued_at timestamp, content_length bigint"
+    "queued_at timestamp, content_length bigint, "
+    "status_code int, fetch_error string"
 )
 
 
 def explode_jsonld_with_meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Like :func:`explode_jsonld`, with per-file metadata passed through.
 
-    Input columns: ``file_url, body, user_id, site_url, queued_at``; each
-    emitted row carries its file's metadata plus ``content_length =
-    len(body)``. One Python pass total: the raw ``html`` is consumed here
-    and nowhere else downstream (the scratch parquet holds only extracted
-    text), so executor memory never pins page bodies.
+    Input columns: ``file_url, body, user_id, site_url, queued_at,
+    status_code, fetch_error``; each emitted row carries its file's metadata
+    plus ``content_length = len(body)``. Rows whose fetch failed
+    (``fetch_error`` non-null) emit a single marker row with no extract
+    error — the failure is the transport's, not the parser's. One Python
+    pass total: the raw ``html`` is consumed here and nowhere else
+    downstream (the scratch parquet holds only extracted text), so executor
+    memory never pins page bodies.
     """
     meta_cols = ("user_id", "site_url", "queued_at")
     for pdf in batches:
         rows: list[tuple] = []
-        for file_url, body, user_id, site_url, queued_at in zip(
+        for file_url, body, user_id, site_url, queued_at, status, ferr in zip(
             pdf["file_url"], pdf["body"], pdf["user_id"],
             pdf["site_url"], pdf["queued_at"],
+            pdf["status_code"], pdf["fetch_error"],
         ):
-            n_bytes = 0 if body is None else len(body)
-            for base in _object_rows(file_url, body):
-                rows.append(base + (user_id, site_url, queued_at, n_bytes))
+            status = None if pd.isna(status) else int(status)
+            ferr = None if pd.isna(ferr) else str(ferr)
+            if ferr is not None:
+                base_rows = [(file_url, None, None, None, None, None, 0, 0, None)]
+                n_bytes = 0
+            else:
+                base_rows = _object_rows(file_url, body)
+                n_bytes = 0 if body is None else len(body)
+            for base in base_rows:
+                rows.append(base + (user_id, site_url, queued_at, n_bytes, status, ferr))
         yield pd.DataFrame(
-            rows, columns=list(_EXTRACT_COLS) + list(meta_cols) + ["content_length"])
+            rows,
+            columns=list(_EXTRACT_COLS) + list(meta_cols)
+            + ["content_length", "status_code", "fetch_error"])

@@ -98,6 +98,14 @@ def split_by_bloom_blobs(
     (SURVEY.md §4 custom piece #2). A blob that is a *superset* of the live
     seen set (stale bits of removed ids) only adds false positives — never
     false negatives — so persisted blobs stay valid without deletions.
+
+    A bucket with NO blob defaults to ``maybe_seen=True``: the invariant
+    "every bucket with url_seen rows has a blob" is not enforceable across
+    mixed ``use_bloom`` configurations (a bloom-off epoch can land seen rows
+    without a blob), and treating blob-less as definitely-new would silently
+    re-admit duplicate ids. Falling through to the exact anti-join costs
+    nothing when the bucket truly has no seen rows (empty build side) and
+    preserves exactness when it does.
     """
     from pyspark.sql.types import BooleanType
 
@@ -107,7 +115,7 @@ def split_by_bloom_blobs(
         if left.empty:
             return left.assign(maybe_seen=pd.Series([], dtype=bool))
         if right.empty:
-            return left.assign(maybe_seen=False)
+            return left.assign(maybe_seen=True)
         blob = right.iloc[0]
         bits = np.unpackbits(np.frombuffer(blob["bloom"], dtype=np.uint8)).astype(bool)
         pos = _bloom_positions(_composite(left), int(blob["m_bits"]))

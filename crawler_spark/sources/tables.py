@@ -73,6 +73,22 @@ class SnapshotStore:
         tmp.write_text(json.dumps(manifest, indent=1))
         os.replace(tmp, self._manifest_path)
 
+    # -- store metadata (layout invariants) ---------------------------------
+
+    def set_meta(self, **kv) -> None:
+        """Pin layout invariants (e.g. ``num_partitions`` — the bucket
+        modulus baked into every bucketed table) in the manifest so a resume
+        with a different configuration fails fast instead of silently
+        misrouting bucket reads/writes."""
+        manifest = self.read_manifest()
+        manifest.setdefault("meta", {}).update(kv)
+        tmp = self._manifest_path.with_suffix(".json.tmp")
+        tmp.write_text(json.dumps(manifest, indent=1))
+        os.replace(tmp, self._manifest_path)
+
+    def get_meta(self, key: str, default=None):
+        return self.read_manifest().get("meta", {}).get(key, default)
+
     # -- snapshots ----------------------------------------------------------
 
     def _table_dir(self, name: str, version: int) -> Path:

@@ -412,6 +412,141 @@ def test_http_fetch_kernel_matches_fetch_join(spark, small_corpus):
     assert miss["fetch_error"] == "HTTP 404"
 
 
+def _frontier_family_bytes(store, num_partitions):
+    """(pending_family_bytes, settled_family_bytes) of the live frontier."""
+    pend = settled = 0
+    for b, ver in store.bucket_versions("frontier").items():
+        d = store._bucket_dir("frontier", int(b), int(ver))
+        sz = sum(f.stat().st_size for f in d.rglob("*") if f.is_file())
+        if int(b) < num_partitions:
+            pend += sz
+        else:
+            settled += sz
+    return pend, settled
+
+
+def test_pending_selection_reads_o_pending(spark, tmp_path, small_corpus):
+    """Epoch selection input must not grow with the done-row count: pending
+    rows live in their own bucket family ([0, P)), so at fixed point (all
+    rows done) the selection's readable bytes are ~zero while the settled
+    family holds the table's mass. The analogue of
+    test_epoch_write_amplification_is_bucket_local for the read side."""
+    pages, seeds = small_corpus
+    engine = build_engine(spark, tmp_path, pages)
+    engine.bootstrap(seeds)
+    engine.run()
+
+    P = engine.cfg.num_partitions
+    pend_bytes, settled_bytes = _frontier_family_bytes(engine.store, P)
+    n_done = engine.frontier().filter(F.col("status") == "done").count()
+    assert n_done == N_SITES * (CHUNKS + 0), "corpus fully crawled"
+    assert settled_bytes > 0, "done rows must live in the settled family"
+    # the pending family may keep empty version dirs; no parquet mass allowed
+    assert pend_bytes < settled_bytes / 4, (
+        f"pending family holds {pend_bytes}B vs settled {settled_bytes}B — "
+        "selection would re-scan done rows")
+    assert engine.pending_frontier().count() == 0
+    # full view still sees everything (families are a layout, not a filter)
+    assert engine.frontier().count() >= n_done
+
+
+def test_unchanged_recrawl_skips_id_sinks(spark, tmp_path, small_corpus):
+    """An epoch that re-processes byte-identical content produces empty id
+    diffs and must leave url_seen / documents / refcounts / blooms at their
+    current versions — only frontier, metrics (and errors) move."""
+    pages, seeds = small_corpus
+    engine = build_engine(spark, tmp_path, pages)
+    engine.bootstrap(seeds)
+    engine.run()
+
+    def versions(name):
+        return dict(engine.store.bucket_versions(name))
+
+    before = {t: versions(t) for t in ("url_seen", "documents", "refcounts", "blooms")}
+    f_before = versions("frontier")
+
+    # re-queue one already-done file with unchanged body
+    url = f"https://{site_host(0)}/chunk0.json"
+    epoch = engine.store.read_manifest()["epoch"] + 1
+    engine.add_manual_files(spark.createDataFrame(
+        [{"site_url": site_host(0), "user_id": "test:user001",
+          "file_url": url, "schema_map": "manual"}]), epoch)
+    engine.run()
+
+    for t, v in before.items():
+        assert versions(t) == v, f"{t} buckets rewritten on a no-change epoch"
+    assert versions("frontier") != f_before, "frontier transition must land"
+    assert_refcounts_consistent(engine)
+
+
+def test_engine_with_http_kernel_end_to_end(spark, tmp_path, small_corpus):
+    """The engine runs with the production HTTP kernel swapped in for the
+    pages join (CrawlEngine(fetcher=...)) and reaches the same final state;
+    transport-reported failures (DNS, 5xx) surface verbatim in metrics and
+    processing_errors instead of the stand-in's 404 literal."""
+    from functools import partial
+
+    from crawler_spark.sources.http_fetch import fetch_pages
+
+    pages, seeds = small_corpus
+    corpus = {r["url"]: bytes(r["html"]) for r in pages.collect()}
+    dns_victim = f"https://{site_host(1)}/chunk1.json"
+
+    def fake_transport_factory(corpus=corpus, victim=dns_victim):
+        def get(url):
+            if url == victim:
+                return 0, None, "ConnectionError: DNS lookup failed"
+            body = corpus.get(url)
+            if body is None:
+                return 404, None, "HTTP 404"
+            return 200, body, None
+
+        return get
+
+    engine = build_engine(
+        spark, tmp_path / "kernel", pages,
+    )
+    engine._fetcher = partial(fetch_pages, transport_factory=fake_transport_factory)
+    engine.bootstrap(seeds)
+    engine.run()
+
+    ref = build_engine(spark, tmp_path / "join", pages)
+    ref.bootstrap(seeds)
+    ref.run()
+
+    got_seen, got_docs = engine_state(engine)
+    want_seen, want_docs = engine_state(ref)
+    victim_ids = {k for k in want_seen if k[0] == dns_victim}
+    assert got_seen == want_seen - victim_ids
+    assert set(got_docs) == {
+        k for k, d in want_docs.items() if d["url"].rsplit("#", 1)[0] != dns_victim}
+
+    # real transport status/error in metrics, not a synthesized 404
+    m = engine.store.read_appended(spark, "metrics").filter(
+        F.col("url") == dns_victim).orderBy("epoch").collect()
+    assert m and all(r["status_code"] == 0 for r in m)
+    assert all(r["error"] == "ConnectionError: DNS lookup failed" for r in m)
+    hist = engine.error_history(file_url=dns_victim).collect()
+    assert hist and hist[0]["error_type"] == "fetch_error"
+    assert hist[0]["error_message"] == "ConnectionError: DNS lookup failed"
+
+
+def test_num_partitions_mismatch_fails_fast(spark, tmp_path, small_corpus):
+    """The bucket modulus is pinned in the manifest at bootstrap; reopening
+    the store with a different num_partitions must refuse (silently
+    misrouted bucket reads/writes would drop rows)."""
+    from crawler_spark.crawl import CrawlConfig, CrawlEngine
+    from crawler_spark.sources.tables import SnapshotStore
+
+    pages, seeds = small_corpus
+    engine = build_engine(spark, tmp_path, pages)
+    engine.bootstrap(seeds)
+
+    with pytest.raises(ValueError, match="num_partitions"):
+        CrawlEngine(spark, SnapshotStore(tmp_path / "state"), pages,
+                    CrawlConfig(num_partitions=engine.cfg.num_partitions * 2))
+
+
 def test_resume_from_checkpoint(spark, tmp_path, small_corpus):
     """Kill after the first epoch; a fresh engine must finish identically."""
     pages, seeds = small_corpus

@@ -99,6 +99,35 @@ def test_updated_blooms_doubling_keeps_old_members(spark):
     assert fresh.count() == 0
 
 
+def test_missing_blob_falls_through_to_exact_join(spark):
+    """A bucket with seen rows but NO persisted blob (e.g. rows landed under
+    use_bloom=False) must route its candidates to the exact anti-join, not
+    declare them definitely-new — otherwise duplicates silently re-enter the
+    seen set and ref-counts inflate."""
+    seen = _ids_df(spark, [(h, f, i) for h in range(4) for f in range(2) for i in range(10)])
+    incoming = _ids_df(
+        spark,
+        [(h, 0, i) for h in range(4) for i in range(5)]   # true dups
+        + [(h, 7, i) for h in range(4) for i in range(5)],  # genuinely new
+    )
+    no_blobs = build_host_blooms(seen).limit(0)  # blooms table exists, no rows
+
+    fresh, maybe = split_by_bloom_blobs(incoming, no_blobs)
+    assert fresh.count() == 0, "blob-less bucket rows must go to the exact join"
+
+    got = {
+        tuple(r)
+        for r in anti_join_new_ids(incoming, seen, use_bloom=True, blooms=no_blobs)
+        .select("file_url", "user_id", "id").collect()
+    }
+    want = {
+        tuple(r)
+        for r in incoming.join(seen, ["file_url", "user_id", "id"], "left_anti")
+        .select("file_url", "user_id", "id").collect()
+    }
+    assert got == want
+
+
 def test_engine_blooms_persist_and_untouched_buckets_keep_version(spark, tmp_path):
     """Epoch loop: blobs live in the store, only touched buckets advance."""
     from crawler_spark.crawl import CrawlConfig, CrawlEngine
