@@ -13,15 +13,18 @@ SPARK_GRAFT_SCALING_N) — each in a fresh JVM via a ``python bench.py
 
 Measurement protocol: the sandbox VM's wall-clock is noisy (hypervisor
 neighbors; measured aggregate memory bandwidth swings 2-3× between windows),
-so runs are INTERLEAVED (N, 4N, N, 4N, …) and the best run per level is
-reported, alongside a memcpy bandwidth probe taken in the same window so the
-reader can judge the host conditions. On a real cluster none of this is
-needed — executors own their cores and memory channels.
+so runs are INTERLEAVED (N, 4N, N, 4N, …) and the MEDIAN run per level is
+reported (with every raw run listed — a best-of pick can ride a single lucky
+window; the round-2 0.803 pass was best-of-2 with the other 4N run at 0.53
+efficiency, which is exactly the failure mode the median kills), alongside a
+memcpy bandwidth probe taken in the same window so the reader can judge the
+host conditions. On a real cluster none of this is needed — executors own
+their cores and memory channels.
 
 Run:  python BENCH/scaling.py            # writes BENCH/BASELINE.md + prints JSON
 Env:  SPARK_GRAFT_SF_DIR   corpus sf tag (default /root/testdata/sf0.1)
       SPARK_GRAFT_CRAWL_SCALE  "sites,chunks,items,hot" (default 80,20,400,160)
-      SPARK_GRAFT_SCALING_REPS  interleaved repetitions per level (default 2)
+      SPARK_GRAFT_SCALING_REPS  interleaved repetitions per level (default 3)
 """
 
 from __future__ import annotations
@@ -43,7 +46,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #: driver-side epoch overhead — the quantity the efficiency ratio measures
 #: on a real cluster, where the driver is a separate node.
 SCALE = os.environ.get("SPARK_GRAFT_CRAWL_SCALE", "320,20,400,160")
-REPS = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "2"))
+REPS = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
 #: parallelism pair: default local[1] vs local[4] rather than 8-vs-32.
 #: Measured on this sandbox VM, (a) aggregate memory bandwidth saturates
 #: (some windows: degrades) beyond ~8 processes, and (b) 32-thread runs
@@ -128,16 +131,28 @@ def main() -> None:
     for _ in range(REPS):
         for cores in (N, FOUR_N):
             runs[cores].append(run_at(cores))
-    lo = max(runs[N], key=lambda r: r["crawl"]["urls_per_sec"])
-    hi = max(runs[FOUR_N], key=lambda r: r["crawl"]["urls_per_sec"])
+
+    def median_run(rs: list[dict]) -> dict:
+        """The run whose urls/sec is the level's median (lower-median for
+        even REPS — the conservative pick)."""
+        ordered = sorted(rs, key=lambda r: r["crawl"]["urls_per_sec"])
+        return ordered[(len(ordered) - 1) // 2]
+
+    lo = median_run(runs[N])
+    hi = median_run(runs[FOUR_N])
     ups_lo = lo["crawl"]["urls_per_sec"]
     ups_hi = hi["crawl"]["urls_per_sec"]
     eff = round(ups_hi / (4.0 * ups_lo), 3) if ups_lo else 0.0
+    pair_effs = [
+        round(h["crawl"]["urls_per_sec"] / (4.0 * l["crawl"]["urls_per_sec"]), 3)
+        for l, h in zip(runs[N], runs[FOUR_N])
+    ]
     result = {
         "metric": f"crawl throughput scaling efficiency, local[{N}] -> local[{FOUR_N}]",
         "n_cores": N, "4n_cores": FOUR_N,
         "urls_per_sec_n": ups_lo, "urls_per_sec_4n": ups_hi,
         "efficiency": eff, "target": 0.8, "pass": eff >= 0.8,
+        "per_pair_efficiencies": pair_effs,
         "sf": lo["sf"], "reps": REPS,
         "all_runs": {str(k): [r["crawl"]["urls_per_sec"] for r in v] for k, v in runs.items()},
         "memcpy_gbps": bw,
@@ -155,16 +170,18 @@ North rule: ≥ 0.8 throughput scaling efficiency from N to 4N executors.
 Sandbox protocol (see /root/repo/BASELINE.md): same crawl job, same
 deterministic synthetic corpus (sites,chunks,ids/chunk,hot-chunks = {SCALE};
 hot-host skew included), fresh JVM per level, `spark-submit`-equivalent local
-masters, runs interleaved best-of-{REPS} per level.
+masters, {REPS} interleaved pairs, MEDIAN per level (not best-of — a best-of
+pick can ride one lucky window; every raw run is listed below).
 
 | parallelism | epochs | files fetched | ids deduped | wall (s) | urls/sec |
 |---|---|---|---|---|---|
 {row(f"local[{N}]  (N)", lo, ups_lo)}
 {row(f"local[{FOUR_N}] (4N)", hi, ups_hi)}
 
-**Scaling efficiency = {ups_hi} / (4 × {ups_lo}) = {eff}**  (target ≥ 0.8 → {"PASS" if eff >= 0.8 else "FAIL"})
+**Scaling efficiency (medians) = {ups_hi} / (4 × {ups_lo}) = {eff}**  (target ≥ 0.8 → {"PASS" if eff >= 0.8 else "FAIL"})
 
 All runs (urls/sec): N = {result["all_runs"][str(N)]}, 4N = {result["all_runs"][str(FOUR_N)]}.
+Per-pair efficiencies (interleaved order): {pair_effs}.
 
 ## Host-environment context (measured in the same window)
 

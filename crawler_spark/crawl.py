@@ -339,6 +339,37 @@ class CrawlEngine:
             F.desc("occurred_at"), F.desc("epoch"), F.asc("file_url"),
             F.asc("error_type")).limit(n)
 
+    def vector_count_by_site(self) -> DataFrame:
+        """Vector-store document counts per site — reference
+        ``vector_db.py:368-388`` (count query) + ``api.py:448-473``
+        (``/vector-count``). One hash agg over the documents table; at
+        scale the per-bucket partial counts combine map-side."""
+        return self.documents().groupBy("site").agg(
+            F.count(F.lit(1)).alias("vector_count"))
+
+    def queue_history(self, n: int = 50) -> DataFrame:
+        """Newest ``n`` queue operations, reconstructed from committed state
+        — reference ``master.py:14-31`` (queue_history.jsonl log) +
+        ``api.py:842-865`` (tail endpoint). Operations: ``send`` (row
+        enqueued — frontier ``queued_at``), ``ack`` (processed clean) /
+        ``nack`` (processing failed) from the per-epoch metrics parts.
+        Newest-first with deterministic tiebreaks; planned as
+        TakeOrderedAndProject over the appended parts — no full sort."""
+        hist = self.frontier().select(
+            F.col("file_url").alias("url"), "job_type",
+            F.lit("send").alias("operation"),
+            F.col("queued_at").alias("ts"), "epoch")
+        if self.store.has_appended("metrics"):
+            m = self.store.read_appended(self.spark, "metrics")
+            hist = hist.unionByName(m.select(
+                "url", F.lit("process_file").alias("job_type"),
+                F.when(F.col("error").isNull(), F.lit("ack"))
+                .otherwise(F.lit("nack")).alias("operation"),
+                "ts", "epoch"))
+        return hist.orderBy(
+            F.desc("ts"), F.desc("epoch"), F.asc("url"), F.asc("operation")
+        ).limit(n)
+
     # ------------------------------------------------------------------
     # manual file management + site teardown (reference api.py:315-446)
     # ------------------------------------------------------------------

@@ -1341,6 +1341,51 @@ GROUP BY p_brand
 """
 
 
+def q_vector_count_by_site(spark, sf_dir):
+    """Vector-store document counts per site (reference
+    ``vector_db.py:368-388`` count query + ``api.py:448-473``
+    ``/vector-count`` endpoint). One hash agg with map-side combine — the
+    testdata ``documents.source`` column stands in for the engine table's
+    ``site`` (``CrawlEngine.vector_count_by_site`` serves the live store)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy(F.col("source").alias("site"))
+        .agg(F.count(F.lit(1)).alias("vector_count"))
+    )
+
+
+SQL_VECTOR_COUNT_BY_SITE = """
+SELECT source AS site, count(*) AS vector_count FROM documents GROUP BY source
+"""
+
+
+def q_queue_history_tail(spark, sf_dir):
+    """Queue-history tail (reference ``master.py:14-31`` queue_history.jsonl
+    + ``api.py:842-865`` tail endpoint): newest 200 queue operations with a
+    per-queue running sequence number. Planned as one window (sequence) +
+    TakeOrderedAndProject (tail) — no global sort at any scale; the engine
+    twin over the live store is ``CrawlEngine.queue_history``."""
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return (
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_id", "user_id",
+            F.col("event_type").alias("operation"), "ts",
+            F.row_number().over(w).alias("op_seq"),
+        )
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .limit(200)
+    )
+
+
+SQL_QUEUE_HISTORY_TAIL = """
+SELECT event_id, user_id, event_type AS operation, ts,
+       row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS op_seq
+FROM events
+ORDER BY ts DESC, event_id DESC LIMIT 200
+"""
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -1361,6 +1406,8 @@ CATALOG: dict[str, tuple[Query, str | None]] = {
     "log_tail": (q_log_tail, SQL_LOG_TAIL),
     "error_history_topk": (q_error_history_topk, SQL_ERROR_HISTORY),
     "lookup_join": (q_lookup_join, SQL_LOOKUP_JOIN),
+    "vector_count_by_site": (q_vector_count_by_site, SQL_VECTOR_COUNT_BY_SITE),
+    "queue_history_tail": (q_queue_history_tail, SQL_QUEUE_HISTORY_TAIL),
     # scalar functions
     "canonical_urls": (q_canonical_urls, SQL_CANONICAL),
     "doc_keys_sha256": (q_doc_keys, SQL_DOC_KEYS),

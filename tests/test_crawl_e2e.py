@@ -531,6 +531,37 @@ def test_engine_with_http_kernel_end_to_end(spark, tmp_path, small_corpus):
     assert hist[0]["error_message"] == "ConnectionError: DNS lookup failed"
 
 
+def test_vector_count_and_queue_history_readers(spark, tmp_path, small_corpus):
+    """The two ops readers over the live store: per-site vector counts
+    (reference vector_db.py:368-388 / api.py:448-473) and the reconstructed
+    queue send/ack/nack history (master.py:14-31 / api.py:842-865)."""
+    pages, seeds = small_corpus
+    engine = build_engine(spark, tmp_path, pages)
+    engine.bootstrap(seeds)
+    engine.run()
+
+    counts = {r["site"]: r["vector_count"]
+              for r in engine.vector_count_by_site().collect()}
+    # every site indexed CHUNKS*ITEMS ids minus its breadcrumb-skipped ones;
+    # cross-check against the documents table itself
+    want = {r["site"]: r["n"] for r in engine.documents().groupBy("site")
+            .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == want and len(counts) == N_SITES
+
+    hist = engine.queue_history(n=500).collect()
+    assert 0 < len(hist) <= 500
+    ops = {r["operation"] for r in hist}
+    assert "send" in ops and "ack" in ops
+    # newest-first ordering
+    ts = [r["ts"] for r in hist]
+    assert ts == sorted(ts, reverse=True)
+    # every fetched file has an ack newer than (or equal to) its send
+    one = next(r["url"] for r in hist if r["operation"] == "ack")
+    per_url = [r for r in hist if r["url"] == one]
+    assert {r["operation"] for r in per_url} >= {"send", "ack"}
+    assert engine.queue_history(n=3).count() == 3
+
+
 def test_num_partitions_mismatch_fails_fast(spark, tmp_path, small_corpus):
     """The bucket modulus is pinned in the manifest at bootstrap; reopening
     the store with a different num_partitions must refuse (silently
