@@ -420,6 +420,33 @@ FROM events GROUP BY 1, 2
 _NEARDUP_PAD = " zq xv near duplicate pad tail"
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Spread a row-group-bound tiny scan across the cores — no-op at scale.
+
+    The sf0.001-0.1 ``documents.parquet`` fixtures are single-row-group
+    files, so Spark's scan yields 1-2 input partitions and the CPU-dense
+    shingle/hash kernels below serialize onto 1-2 cores (measured 2.6×
+    wall on the minhash signature stage at sf0.1/local[32]). Production
+    inputs have row groups ≫ cores, the guard is false, and NO repartition
+    (i.e. no full-corpus text shuffle) appears in the 100-TB plan.
+    """
+    want = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < want:
+        return df.repartition(want)
+    return df
+
+
+def _pairs_from_bucket(ds_col: str = "ds") -> F.Column:
+    """All ordered pairs (ds[i], ds[j]), i<j, from a sorted bucket array —
+    scan-side, after the single bucket shuffle; bucket size is capped by
+    the stop cut so the per-bucket expansion is ≤ C(cap,2)."""
+    return F.explode(F.expr(
+        f"flatten(transform(sequence(0, size({ds_col}) - 2), i -> "
+        f"transform(slice({ds_col}, i + 2, size({ds_col}) - i - 1), "
+        f"d -> struct({ds_col}[i] AS doc_a, d AS doc_b))))"
+    ))
+
+
 def _doubled_exact(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return docs.unionByName(
@@ -483,8 +510,13 @@ _SHINGLES_DUCK = (
 
 
 def _minhash_cols():
+    # One md5 per shingle; the 6 minhash functions are disjoint 5-hex-char
+    # windows of it (one-permutation-hashing style — argmin differs per
+    # window, so the minima behave as independent hash functions at ~1/6 the
+    # hashing cost of 6 salted md5 passes; measured 1.86 s → 1.26 s on the
+    # signature stage at sf0.1).
     return [
-        F.expr(f"array_min(transform(shingles, s -> md5(concat('{k}|', s))))").alias(f"mh{k}")
+        F.expr(f"array_min(transform(hs, h -> substring(h, {5 * k + 1}, 5)))").alias(f"mh{k}")
         for k in range(_MINHASH_K)
     ]
 
@@ -493,15 +525,21 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash(6) + LSH(3 bands × 2) candidate pairs over word 3-gram shingles.
 
     All hashing is md5-on-strings so the oracle reproduces it bit-for-bit.
-    Scale shape: signatures are computed scan-side with zero shuffles
-    (higher-order array fns in whole-stage codegen); the only shuffle is the
-    band-bucket self-join, whose build side is band values — at 10^10 docs
-    the band join is the classic shuffle and AQE splits skewed buckets.
+    Scale shape: signatures and band values are computed scan-side in one
+    pipeline pass (higher-order array fns in whole-stage codegen); the ONLY
+    shuffle of the corpus is the band groupBy, after which pairs are emitted
+    from each bucket's sorted doc-id array scan-side. The stop cut — a
+    degenerate band value shared by > _BUCKET_CAP docs would fan out
+    quadratically; real near-dup clusters that large are resolved by exact
+    dedup upstream — is a free filter on bucket size here, not a join (the
+    round-2/3 anti-join formulations recomputed the whole signature pipeline
+    up to 4× as both hot-list build and both self-join sides).
     """
-    base = _doubled_near(spark, sf_dir)
+    base = _spread(_doubled_near(spark, sf_dir))
     sig = (
         base.withColumn("ts", F.split("text", " "))
         .withColumn("shingles", F.expr(_SHINGLES_SPARK))
+        .withColumn("hs", F.expr("transform(shingles, s -> md5(s))"))
         .select("doc_id", *_minhash_cols())
     )
     bands = sig.select(
@@ -516,33 +554,20 @@ def q_dedup_minhash_lsh(spark, sf_dir):
             ])
         ).alias("band"),
     ).select("doc_id", "band.band_idx", "band.band_val")
-    # stop-band cut: a degenerate band value shared by > _BUCKET_CAP docs
-    # (empty/near-empty texts) would fan out quadratically in the self-join;
-    # drop it, same as the df<=100 stop-shingle cut in ngram_jaccard. Real
-    # near-dup clusters this large are resolved by exact dedup upstream.
-    # The over-cap (hot) list is tiny by construction — each hot band holds
-    # > _BUCKET_CAP docs, so there are at most n/_BUCKET_CAP of them — so
-    # broadcast it and anti-join; the probe side of `bands` then needs no
-    # extra Exchange (vs the rare-list semi-join, which reshuffled all bands).
-    hot_bands = (
+    buckets = (
         bands.groupBy("band_idx", "band_val")
-        .agg(F.count(F.lit(1)).alias("bdf"))
-        .filter(F.col("bdf") > _BUCKET_CAP)
-        .select("band_idx", "band_val")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= _BUCKET_CAP))
     )
-    bands = bands.join(F.broadcast(hot_bands), ["band_idx", "band_val"], "left_anti")
-    a, b = bands.alias("a"), bands.alias("b")
     return (
-        a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
-               & (F.col("a.band_val") == F.col("b.band_val"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        buckets.select(_pairs_from_bucket().alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_bands"))
     )
 
 
 _MH_DUCK = ", ".join(
-    f"list_min(list_transform(shingles, s -> md5('{k}|' || s))) AS mh{k}"
+    f"list_min(list_transform(hs, h -> substr(h, {5 * k + 1}, 5))) AS mh{k}"
     for k in range(_MINHASH_K)
 )
 _BANDS_DUCK = " UNION ALL ".join(
@@ -553,7 +578,8 @@ _BANDS_DUCK = " UNION ALL ".join(
 SQL_DEDUP_MINHASH = f"""
 WITH base AS ({_SQL_DOUBLED_NEAR}),
 tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM base),
-sh AS (SELECT doc_id, {_SHINGLES_DUCK} AS shingles FROM tok),
+shl AS (SELECT doc_id, {_SHINGLES_DUCK} AS shingles FROM tok),
+sh AS (SELECT doc_id, list_transform(shingles, s -> md5(s)) AS hs FROM shl),
 mh AS (SELECT doc_id, {_MH_DUCK} FROM sh),
 bands0 AS ({_BANDS_DUCK}),
 hotb AS (SELECT band_idx, band_val FROM bands0
@@ -685,26 +711,32 @@ FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
 def q_dedup_ngram_jaccard(spark, sf_dir):
     """n-gram Jaccard near-dup pairs — integer set sizes only (exact).
 
-    Shape: distinct (doc, shingle) explode → self-join on shingle →
-    per-pair intersection counts joined with per-doc sizes. The shingle join
-    is the scale hazard: common shingles fan out quadratically, so the plan
-    drops shingles seen in > 100 docs (stop-shingle cut, standard trick).
+    Shape: distinct (doc, shingle) explode → ONE groupBy-shingle shuffle →
+    per-bucket pair emission + per-doc sizes, both read from the same
+    shuffled aggregate (ReusedExchange — the shingle pipeline runs once).
+    Common shingles fan out quadratically, so buckets with df > 100 are
+    dropped by a size filter (stop-shingle cut, standard trick) — no
+    hot-list join, and the cut bounds the per-bucket pair expansion.
     """
-    base = _doubled_near(spark, sf_dir)
+    base = _spread(_doubled_near(spark, sf_dir))
     sh = (
         base.withColumn("ts", F.split("text", " "))
         .withColumn("shingles", F.expr(_SHINGLES_SPARK))
         .select("doc_id", F.explode(F.array_distinct("shingles")).alias("s"))
     )
-    # hot-shingle stop cut: the over-cap list is tiny (≤ n/100 shingles), so
-    # broadcast+anti-join — no reshuffling of the full (doc, shingle) table.
-    hot = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") > 100)
-    sh = sh.join(F.broadcast(hot.select("s")), "s", "left_anti")
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a, b = sh.alias("a"), sh.alias("b")
+    buckets = (
+        sh.groupBy("s")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") <= 100)
+    )
+    sizes = (
+        buckets.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    )
     inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        buckets.filter(F.size("ds") >= 2)
+        .select(_pairs_from_bucket().alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("inter_sz"))
     )
     return (

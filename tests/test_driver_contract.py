@@ -145,16 +145,34 @@ def test_simhash_is_scan_side(spark, sf_dir):
     assert "Exchange" not in plan, f"dedup_simhash shuffles:\n{plan}"
 
 
-@pytest.mark.parametrize("name", ["dedup_minhash_lsh", "dedup_ngram_jaccard"])
-def test_stop_cut_is_broadcast_anti(name, spark, sf_dir):
-    """The hot-bucket stop cut must be a broadcast anti-join, not a semi-join
-    against the (huge) rare list — the semi-join reshuffled the full bands /
-    shingles table a second time (round-2 regression, +38% on minhash)."""
-    fn, _ = CATALOG[name]
+def test_minhash_is_single_pipeline_no_joins(spark, sf_dir):
+    """MinHash pair generation must be join-free: one scan-side signature
+    pipeline, one groupBy-band shuffle, pairs exploded from each bucket's
+    sorted doc-id array. Every join formulation tried (self-join with
+    semi/anti stop cuts) recomputed the whole md5 signature pipeline 2-4×
+    — the dominant cost at any scale (round-2/3 regressions)."""
+    fn, _ = CATALOG["dedup_minhash_lsh"]
     plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
-    assert "LeftSemi" not in plan, f"{name}: semi-join stop cut is back:\n{plan}"
-    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, (
-        f"{name}: hot-list cut is not a broadcast anti-join:\n{plan}")
+    assert "Join" not in plan, f"dedup_minhash_lsh has a join:\n{plan}"
+    # scan parquet appears once per _doubled_near branch; a recomputed
+    # pipeline would double it
+    assert plan.count("Scan parquet") <= 2, (
+        f"signature pipeline recomputed:\n{plan}")
+
+
+def test_ngram_pipeline_runs_once(spark, sf_dir):
+    """The (doc, shingle) pipeline must be computed once: sizes and pairs
+    both read the same groupBy-shingle aggregate (ReusedExchange), and the
+    hot-shingle stop cut is a bucket-size filter, not a join against a
+    hot/rare list."""
+    fn, _ = CATALOG["dedup_ngram_jaccard"]
+    df = fn(spark, sf_dir)
+    df.collect()  # AQE detects exchange reuse at runtime, not at planning
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" not in plan and "LeftAnti" not in plan, (
+        f"stop cut is a join again:\n{plan}")
+    assert "ReusedExchange [s#" in plan, (
+        f"shingle Exchange not reused — pipeline recomputed per consumer:\n{plan}")
 
 
 def test_readme_catalog_count_matches():
