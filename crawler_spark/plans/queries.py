@@ -768,6 +768,95 @@ WHERE inter_sz * 10 >= (sa.sz + sb.sz - inter_sz) * 8
 """
 
 
+# ---- duplicate-cluster resolution -----------------------------------
+
+
+def q_dedup_components(spark, sf_dir):
+    """Near-dup clusters: connected components over the MinHash candidate
+    pairs — the step every production dedup pipeline runs after pair
+    generation (pairs → clusters → keep min doc id per cluster, drop rest).
+
+    Spark side: alternating large-star/small-star label propagation
+    (``operators/components.py`` — O(log n) rounds, shuffle bounded by the
+    shrinking edge set, no data-sized collects). Oracle: recursive-CTE
+    min-label closure — exponential-closure-safe only at test scale, which
+    is exactly the oracle's job.
+    """
+    from crawler_spark.operators.components import connected_components
+
+    pairs = q_dedup_minhash_lsh(spark, sf_dir)
+    return (
+        connected_components(pairs)
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.sum(F.when(F.col("doc_id") != F.col("component"), 1)
+                  .otherwise(0)).alias("dropped_docs"),
+        )
+        .filter(F.col("cluster_size") >= 2)
+    )
+
+
+SQL_DEDUP_COMPONENTS = f"""
+WITH RECURSIVE pairs AS ({SQL_DEDUP_MINHASH}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+lbl (doc, comp) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, l.comp FROM edges e JOIN lbl l ON l.doc = e.b
+),
+comps AS (SELECT doc, min(comp) AS component FROM lbl GROUP BY doc)
+SELECT component, count(*) AS cluster_size,
+       sum(CASE WHEN doc != component THEN 1 ELSE 0 END) AS dropped_docs
+FROM comps GROUP BY component HAVING count(*) >= 2
+"""
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic hash-stratified sampling — reproducible training-data
+    subsampling with a per-stratum rate (no RNG: keep a doc iff the first
+    4 hex chars of md5(doc_id) land under the stratum's percentage, so the
+    sample is stable across runs/engines and the plan is a pure scan-side
+    filter with one count-agg shuffle)."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int") % 100
+    )
+    rate = (
+        F.when(F.col("source") == "web", 50)
+        .when(F.col("source") == "news", 25)
+        .otherwise(10)
+    )
+    return (
+        docs.withColumn("bucket", bucket)
+        .filter(F.col("bucket") < rate)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("sampled"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+
+
+SQL_SAMPLE_STRATIFIED = """
+WITH s AS (
+  SELECT source, doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 AS bucket
+  FROM documents
+)
+SELECT source, count(*) AS sampled, min(doc_id) AS min_doc_id,
+       max(doc_id) AS max_doc_id
+FROM s
+WHERE bucket < (CASE source WHEN 'web' THEN 50 WHEN 'news' THEN 25 ELSE 10 END)
+GROUP BY source
+"""
+
+
 # =====================================================================
 # similarity search over embeddings
 # =====================================================================
@@ -1455,6 +1544,8 @@ CATALOG: dict[str, tuple[Query, str | None]] = {
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_simhash_pairs": (q_dedup_simhash_pairs, SQL_SIMHASH_PAIRS),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
+    "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
     # similarity search
     "ann_cosine_topk": (q_ann_topk, SQL_ANN_TOPK),
     "ann_ivf_bucketed": (q_ann_ivf_bucketed, SQL_ANN_IVF),
