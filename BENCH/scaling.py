@@ -127,6 +127,17 @@ def wait_for_sane_window() -> dict[str, float]:
 
 def main() -> None:
     bw = wait_for_sane_window()
+    # sentinel so a co-located operator knows measurement is in flight and
+    # can hold off on launching competing load (removed in the finally)
+    marker = REPO / "BENCH" / ".measuring"
+    marker.write_text("scaling measurement in flight\n")
+    try:
+        _measure(bw)
+    finally:
+        marker.unlink(missing_ok=True)
+
+
+def _measure(bw) -> None:
     runs: dict[int, list[dict]] = {N: [], FOUR_N: []}
     for _ in range(REPS):
         for cores in (N, FOUR_N):

@@ -562,6 +562,34 @@ def test_vector_count_and_queue_history_readers(spark, tmp_path, small_corpus):
     assert engine.queue_history(n=3).count() == 3
 
 
+def test_engine_runs_on_txnlog_store(spark, tmp_path, small_corpus):
+    """Seam proof: the full crawl (bootstrap → epochs → resume) runs
+    unchanged on the Delta-style transaction-log backend and lands in the
+    same final state as the parquet-manifest backend."""
+    from crawler_spark.sources.txnlog import TxnLogStore
+    from crawler_spark.crawl import CrawlConfig, CrawlEngine
+
+    pages, seeds = small_corpus
+    ref = build_engine(spark, tmp_path / "ref", pages)
+    ref.bootstrap(seeds)
+    ref.run()
+    want_seen, want_docs = engine_state(ref)
+
+    cfg = CrawlConfig(num_partitions=8, salt_buckets=4)
+    eng = CrawlEngine(spark, TxnLogStore(tmp_path / "txn" / "state"), pages, cfg)
+    eng.bootstrap(seeds)
+    eng.run()
+    got_seen, got_docs = engine_state(eng)
+    assert got_seen == want_seen
+    assert set(got_docs) == set(want_docs)
+    # resume path folds state from the log, not a mutable manifest
+    resumed = CrawlEngine(
+        spark, TxnLogStore(tmp_path / "txn" / "state"), pages, cfg)
+    assert resumed.store.read_manifest()["epoch"] == eng.store.read_manifest()["epoch"]
+    assert (tmp_path / "txn" / "state" / "_txn_log").exists()
+    assert not (tmp_path / "txn" / "state" / "MANIFEST.json").exists()
+
+
 def test_num_partitions_mismatch_fails_fast(spark, tmp_path, small_corpus):
     """The bucket modulus is pinned in the manifest at bootstrap; reopening
     the store with a different num_partitions must refuse (silently

@@ -20,9 +20,11 @@ import pytest
 from pyspark.sql import functions as F
 
 from crawler_spark.sources.tables import SnapshotStore
+from crawler_spark.sources.txnlog import TxnLogStore
 
 BACKENDS = [
     "parquet",
+    "txnlog",
     pytest.param(
         "iceberg",
         marks=pytest.mark.skip(
@@ -34,11 +36,13 @@ BACKENDS = [
 
 @pytest.fixture(params=BACKENDS)
 def make_store(request, tmp_path):
-    if request.param == "parquet":
-        def factory(name="s"):
-            return SnapshotStore(tmp_path / name)
-        return factory
-    raise NotImplementedError(request.param)
+    cls = {"parquet": SnapshotStore, "txnlog": TxnLogStore}.get(request.param)
+    if cls is None:
+        raise NotImplementedError(request.param)
+
+    def factory(name="s"):
+        return cls(tmp_path / name)
+    return factory
 
 
 def _df(spark, rows):
@@ -144,3 +148,32 @@ def test_vacuum_keeps_live_versions(spark, make_store):
         store.commit(e, {"t": store.write(_df(spark, [(0, f"v{e}", e)]), "t")})
     store.vacuum(keep_last=1)
     assert [r["k"] for r in store.read(spark, "t").collect()] == ["v3"]
+
+
+# -- txn-log-specific behaviors (the Delta-shaped commit protocol) ----------
+
+
+def test_txnlog_optimistic_concurrency(spark, tmp_path):
+    """Two handles racing commits must both land (distinct sequence numbers,
+    both visible after fold) — the log claim is atomic, not last-writer-wins."""
+    a = TxnLogStore(tmp_path / "s")
+    b = TxnLogStore(tmp_path / "s")
+    va = a.write(_df(spark, [(0, "a", 1)]), "ta")
+    vb = b.write(_df(spark, [(0, "b", 2)]), "tb")
+    a.commit(0, {"ta": va})
+    b.commit(1, {"tb": vb})  # b's handle never saw a's commit; fold merges
+    fresh = TxnLogStore(tmp_path / "s")
+    assert fresh.exists("ta") and fresh.exists("tb")
+    assert fresh.read_manifest()["epoch"] == 1
+
+
+def test_txnlog_checkpoint_bounds_replay(spark, tmp_path):
+    store = TxnLogStore(tmp_path / "s")
+    for e in range(12):
+        store.commit(e, {"t": store.write(_df(spark, [(0, f"v{e}", e)]), "t")})
+    cps = list((tmp_path / "s" / "_txn_log").glob("checkpoint-*.json"))
+    assert cps, "no checkpoint written after 12 commits"
+    # a cold handle folds from the checkpoint and sees identical state
+    cold = TxnLogStore(tmp_path / "s")
+    assert cold.read_manifest() == store.read_manifest()
+    assert [r["k"] for r in cold.read(spark, "t").collect()] == ["v11"]
