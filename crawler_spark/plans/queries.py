@@ -810,7 +810,7 @@ lbl (doc, comp) AS (
 ),
 comps AS (SELECT doc, min(comp) AS component FROM lbl GROUP BY doc)
 SELECT component, count(*) AS cluster_size,
-       sum(CASE WHEN doc != component THEN 1 ELSE 0 END) AS dropped_docs
+       CAST(sum(CASE WHEN doc != component THEN 1 ELSE 0 END) AS BIGINT) AS dropped_docs
 FROM comps GROUP BY component HAVING count(*) >= 2
 """
 
@@ -1508,6 +1508,253 @@ ORDER BY ts DESC, event_id DESC LIMIT 200
 
 
 # =====================================================================
+# training-data pipeline extensions (repetition quality, contamination,
+# domain mixing) + temporal event operators (as-of join, sessionization)
+# =====================================================================
+
+def q_quality_repetition(spark, sf_dir):
+    """Gopher-style repetition quality rules: per-doc duplicate-word fraction
+    and top-bigram fraction (both in integral per-mille so the cross-engine
+    hash is bit-stable). Plan: scan-side token stats + one explode→two-level
+    hash agg keyed on (doc_id, bigram) then doc_id — partial aggs map-side
+    combine, the shuffle is keyed on doc_id so it co-partitions with any
+    downstream per-doc filter. No window, no join, no Python."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select("doc_id", F.split("text", " ").alias("ts")).select(
+        "doc_id",
+        F.size("ts").alias("n_words"),
+        F.size(F.array_distinct("ts")).alias("n_uniq"),
+        F.expr(
+            "CASE WHEN size(ts) > 1 THEN "
+            "transform(sequence(1, size(ts) - 1), i -> concat(ts[i-1], ' ', ts[i])) "
+            "ELSE slice(ts, 1, 0) END"
+        ).alias("bgs"),
+    )
+    per_bg = (
+        d.select("doc_id", "n_words", "n_uniq", F.explode("bgs").alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.first("n_words").alias("n_words"),
+            F.first("n_uniq").alias("n_uniq"),
+        )
+    )
+    per_doc = per_bg.groupBy("doc_id").agg(
+        F.max("c").alias("top_c"),
+        F.sum("c").alias("n_bg"),
+        F.first("n_words").alias("n_words"),
+        F.first("n_uniq").alias("n_uniq"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_words",
+        F.floor(
+            F.lit(1000.0) * (F.col("n_words") - F.col("n_uniq")) / F.col("n_words")
+            + F.lit(0.5)
+        ).cast("long").alias("dup_word_pm"),
+        F.floor(
+            F.lit(1000.0) * F.col("top_c") / F.col("n_bg") + F.lit(0.5)
+        ).cast("long").alias("top_bigram_pm"),
+    )
+
+
+SQL_QUALITY_REPETITION = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+s AS (
+  SELECT doc_id, len(ts) AS n_words, len(list_distinct(ts)) AS n_uniq,
+         list_transform(range(1, len(ts)), i -> concat(ts[i], ' ', ts[i+1])) AS bgs
+  FROM d
+),
+per_bg AS (
+  SELECT doc_id, bg, count(*) AS c,
+         any_value(n_words) AS n_words, any_value(n_uniq) AS n_uniq
+  FROM (SELECT doc_id, n_words, n_uniq, unnest(bgs) AS bg FROM s)
+  GROUP BY doc_id, bg
+),
+per_doc AS (
+  SELECT doc_id, max(c) AS top_c, CAST(sum(c) AS BIGINT) AS n_bg,
+         any_value(n_words) AS n_words, any_value(n_uniq) AS n_uniq
+  FROM per_bg GROUP BY doc_id
+)
+SELECT doc_id, n_words,
+       CAST(FLOOR(1000.0 * (n_words - n_uniq) / n_words + 0.5) AS BIGINT) AS dup_word_pm,
+       CAST(FLOOR(1000.0 * top_c / n_bg + 0.5) AS BIGINT) AS top_bigram_pm
+FROM per_doc
+"""
+
+
+def q_contamination_ngrams(spark, sf_dir):
+    """Train/eval contamination check: word 5-gram overlap between each
+    training document and a deterministic heldout split (doc_id % 17 == 0).
+    Plan: per-doc-distinct gram rows (one explode + distinct), the eval gram
+    set is BROADCAST into a left-semi join (at 100 TB the eval split is MBs
+    while the train side is the corpus — the broadcast keeps the probe
+    shuffle-free), then a doc_id hash agg. Output: contaminated train docs
+    with their shared-gram counts."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ts")
+    )
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(ts) >= 5 THEN "
+                "transform(sequence(1, size(ts) - 4), i -> concat_ws(' ', slice(ts, i, 5))) "
+                "ELSE slice(ts, 1, 0) END"
+            )
+        ).alias("gram"),
+    ).distinct()
+    eval_grams = grams.filter(F.col("doc_id") % 17 == 0).select("gram").distinct()
+    train = grams.filter(F.col("doc_id") % 17 != 0)
+    return (
+        train.join(F.broadcast(eval_grams), "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+    )
+
+
+SQL_CONTAMINATION = """
+WITH g AS (
+  SELECT doc_id, unnest(list_distinct(
+           list_transform(range(1, len(ts) - 3),
+                          i -> array_to_string(ts[i:i+4], ' ')))) AS gram
+  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+),
+ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 17 = 0)
+SELECT doc_id, count(*) AS shared_grams
+FROM g
+WHERE doc_id % 17 <> 0 AND gram IN (SELECT gram FROM ev)
+GROUP BY doc_id
+"""
+
+
+def q_domain_mix_weights(spark, sf_dir):
+    """Domain-mix sampling weights per source: corpus share plus a
+    temperature-scaled (alpha = 0.5) weight normalized against the largest
+    source. sqrt is used (not pow) because IEEE-754 specifies sqrt exactly,
+    so JVM and DuckDB produce identical bits; the normalizers (total count,
+    max count) are exact integers, so no float-summation-order hazard exists.
+    Plan: one hash agg to per-source counts (tiny), then a broadcast of the
+    one-row totals — the cross join is 20 × 1."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    totals = counts.agg(
+        F.sum("n_docs").alias("total"), F.max("n_docs").alias("max_n")
+    )
+    return counts.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "n_docs",
+        F.floor(
+            F.lit(1000.0) * F.col("n_docs") / F.col("total") + F.lit(0.5)
+        ).cast("long").alias("share_pm"),
+        F.floor(
+            F.lit(1000.0) * F.sqrt(F.col("n_docs")) / F.sqrt(F.col("max_n"))
+            + F.lit(0.5)
+        ).cast("long").alias("weight_pm"),
+    )
+
+
+SQL_DOMAIN_MIX = """
+WITH counts AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+totals AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total, max(n_docs) AS max_n FROM counts)
+SELECT source, n_docs,
+       CAST(FLOOR(1000.0 * n_docs / total + 0.5) AS BIGINT) AS share_pm,
+       CAST(FLOOR(1000.0 * sqrt(n_docs) / sqrt(max_n) + 0.5) AS BIGINT) AS weight_pm
+FROM counts, totals
+"""
+
+
+def q_asof_join_events(spark, sf_dir):
+    """As-of (temporal) join: for every 'click' event, the timestamp of the
+    most recent strictly-earlier 'view' by the same user. Spark has no ASOF
+    JOIN, so this is the scalable union+window idiom: one shuffle keyed on
+    user_id, a running `last(view_ts) ignorenulls` over a ROWS frame ending
+    one row before the current — no join at all, versus the oracle's native
+    ASOF LEFT JOIN. Strict `view.ts < click.ts` semantics come from the sort
+    key `(ts, is_view)`: at equal ts a view (1) sorts AFTER a click (0), so
+    it never lands in the click's preceding frame. At 100 TB this is the
+    standard shape (a per-key sorted window, skew bounded by per-user event
+    counts), where a naive inequality join would be quadratic per user."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "click"))
+        .select(
+            "event_id", "user_id", "ts",
+            (F.col("event_type") == "view").cast("int").alias("is_view"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_view", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = ev.withColumn(
+        "prev_view_ts",
+        F.last(
+            F.when(F.col("is_view") == 1, F.col("ts")), ignorenulls=True
+        ).over(w),
+    )
+    return flagged.filter(F.col("is_view") == 0).select(
+        "event_id", "user_id", "ts", "prev_view_ts"
+    )
+
+
+SQL_ASOF_JOIN = """
+SELECT c.event_id, c.user_id, c.ts, v.ts AS prev_view_ts
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON c.user_id = v.user_id AND c.ts > v.ts
+"""
+
+
+def q_sessionize_events(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity splits a session) rolled
+    up to per-session stats. Plan: one shuffle keyed on user_id feeding two
+    stacked windows (lag → running sum; Spark evaluates both in a single
+    sort within the same exchange) and a final (user_id, session_seq) hash
+    agg that reuses the same partitioning — one exchange total."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    gap_us = F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
+    marked = ev.withColumn("prev_ts", prev_ts).withColumn(
+        "is_new",
+        F.when(gap_us.isNull() | (gap_us > F.lit(1_800_000_000)), 1).otherwise(0),
+    ).drop("prev_ts")
+    sess = marked.withColumn(
+        "session_seq",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+SQL_SESSIONIZE = """
+WITH e AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_seq
+  FROM e
+)
+SELECT user_id, session_seq, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM s GROUP BY user_id, session_seq
+"""
+
+
+# =====================================================================
 # registry
 # =====================================================================
 
@@ -1564,6 +1811,12 @@ CATALOG: dict[str, tuple[Query, str | None]] = {
     # multimodal plumbing
     "multimodal_image_meta": (q_multimodal_image_meta, SQL_MULTIMODAL_META),
     "frame_sample_plan": (q_frame_sample_plan, SQL_FRAME_SAMPLE),
+    # training-pipeline extensions + temporal event operators
+    "quality_repetition": (q_quality_repetition, SQL_QUALITY_REPETITION),
+    "contamination_ngrams": (q_contamination_ngrams, SQL_CONTAMINATION),
+    "domain_mix_weights": (q_domain_mix_weights, SQL_DOMAIN_MIX),
+    "asof_join_events": (q_asof_join_events, SQL_ASOF_JOIN),
+    "sessionize_events": (q_sessionize_events, SQL_SESSIONIZE),
 }
 
 
