@@ -1586,11 +1586,13 @@ FROM per_doc
 def q_contamination_ngrams(spark, sf_dir):
     """Train/eval contamination check: word 5-gram overlap between each
     training document and a deterministic heldout split (doc_id % 17 == 0).
-    Plan: per-doc-distinct gram rows (one explode + distinct), the eval gram
-    set is BROADCAST into a left-semi join (at 100 TB the eval split is MBs
-    while the train side is the corpus — the broadcast keeps the probe
-    shuffle-free), then a doc_id hash agg. Output: contaminated train docs
-    with their shared-gram counts."""
+    Plan: per-doc gram dedup happens SCAN-SIDE (`array_distinct` on the gram
+    array before the explode — no (doc_id, gram) shuffle at any scale), the
+    eval gram set is BROADCAST into a left-semi join (at 100 TB the eval
+    split is MBs while the train side is the corpus — the broadcast keeps
+    the probe shuffle-free), then a doc_id hash agg. The only full-corpus
+    exchange in the plan is the final per-doc count. Output: contaminated
+    train docs with their shared-gram counts."""
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("ts")
     )
@@ -1599,11 +1601,12 @@ def q_contamination_ngrams(spark, sf_dir):
         F.explode(
             F.expr(
                 "CASE WHEN size(ts) >= 5 THEN "
-                "transform(sequence(1, size(ts) - 4), i -> concat_ws(' ', slice(ts, i, 5))) "
+                "array_distinct(transform(sequence(1, size(ts) - 4), "
+                "i -> concat_ws(' ', slice(ts, i, 5)))) "
                 "ELSE slice(ts, 1, 0) END"
             )
         ).alias("gram"),
-    ).distinct()
+    )
     eval_grams = grams.filter(F.col("doc_id") % 17 == 0).select("gram").distinct()
     train = grams.filter(F.col("doc_id") % 17 != 0)
     return (
