@@ -175,6 +175,35 @@ def test_ngram_pipeline_runs_once(spark, sf_dir):
         f"shingle Exchange not reused — pipeline recomputed per consumer:\n{plan}")
 
 
+@pytest.mark.parametrize("name", ("asof_join_events", "sessionize_events"))
+def test_temporal_window_ops_single_exchange(name, spark, sf_dir):
+    """The as-of join and sessionization must stay one user_id Exchange:
+    the as-of is a window (not an inequality join — quadratic per user),
+    and sessionize's final (user_id, session_seq) agg must reuse the
+    window's partitioning rather than add a second shuffle."""
+    fn, _ = CATALOG[name]
+    plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, f"{name}: window op became a join:\n{plan}"
+    assert plan.count("Exchange") == 1, (
+        f"{name}: expected exactly 1 Exchange:\n{plan}")
+
+
+def test_contamination_probe_is_broadcast_and_dedup_scan_side(spark, sf_dir):
+    """The train-side gram probe must be a broadcast semi-join (the heldout
+    split is tiny at any scale) and per-doc gram dedup must be scan-side —
+    no (doc_id, gram) hash Exchange of the full corpus."""
+    fn, _ = CATALOG["contamination_ngrams"]
+    plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, (
+        f"eval gram probe is not a broadcast semi-join:\n{plan}")
+    import re
+
+    compound = [m for m in re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+                if "doc_id" in m and "gram" in m]
+    assert not compound, (
+        f"full-corpus (doc_id, gram) shuffle is back: {compound}\n{plan}")
+
+
 def test_readme_catalog_count_matches():
     """Doc-drift guard: README's advertised catalog size == len(CATALOG)."""
     import re

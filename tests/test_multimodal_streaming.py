@@ -16,6 +16,7 @@ from crawler_spark.streaming.events import (
     stream_events_from_dir,
     windowed_event_counts,
 )
+from crawler_spark.streaming.sessions import sessionize_stream
 
 
 def test_image_decode_plumbing(spark):
@@ -92,3 +93,66 @@ def test_streaming_dedup(spark, sf_dir, tmp_path):
     query.awaitTermination(120)
     n = spark.sql("SELECT count(DISTINCT event_id) c, count(*) n FROM dedup_out").first()
     assert n["c"] == n["n"] == 500
+
+
+def test_streaming_sessionize_sandwich(spark, sf_dir, tmp_path):
+    """applyInPandasWithState sessionizer vs the batch twin.
+
+    Events are replayed in order across several micro-batches. Every
+    non-final session per user is closed IN-DATA by a later event, so the
+    emitted set must contain all of them; each user's open tail session can
+    only be emitted by a watermark timeout (which needs a subsequent batch),
+    so the emitted set is sandwiched:
+
+        batch_sessions − final_per_user  ⊆  emitted  ⊆  batch_sessions
+    """
+    from crawler_spark.plans.queries import q_sessionize_events
+
+    batch = q_sessionize_events(spark, sf_dir).collect()
+    want = {
+        (r["user_id"], r["session_seq"]):
+            (r["n_events"], r["session_start"], r["session_end"])
+        for r in batch
+    }
+    finals = {}
+    for uid, seq in want:
+        finals[uid] = max(finals.get(uid, 0), seq)
+    must_emit = {k for k in want if k[1] != finals[k[0]]}
+
+    # replay in event order over 4 sequential files, one file per trigger
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pdf = events.orderBy("ts", "event_id").toPandas()
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    quarter = (len(pdf) + 3) // 4
+    for i in range(4):
+        chunk = pdf.iloc[i * quarter:(i + 1) * quarter]
+        chunk.to_parquet(str(src / f"part{i:02d}.parquet"), index=False,
+                         coerce_timestamps="us")
+        time.sleep(0.05)  # distinct mtimes → deterministic file order
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    query = (
+        sessionize_stream(stream)
+        .writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(180)
+    got = {
+        (r["user_id"], r["session_seq"]):
+            (r["n_events"], r["session_start"], r["session_end"])
+        for r in spark.sql("SELECT * FROM sessions_out").collect()
+    }
+
+    assert set(got) <= set(want), f"phantom sessions: {set(got) - set(want)}"
+    assert must_emit <= set(got), f"missing closed sessions: {must_emit - set(got)}"
+    for k in got:
+        assert got[k] == want[k], f"session {k}: {got[k]} != {want[k]}"
