@@ -42,9 +42,18 @@ def main() -> None:
                              cwd=str(REPO))
         subprocess.run(["tar", "x"], input=tar.stdout, cwd=str(base), check=True)
         runs: dict[str, list[float]] = {"baseline": [], "candidate": []}
+        # one discarded warmup per tree: the first run after a tree switch
+        # pays cold OS page cache for the corpus — measured as a consistent
+        # second-runner-wins bias (~±25%) without this
+        for tree in (base, REPO):
+            run_crawl(tree)
         for i in range(reps):
-            runs["baseline"].append(run_crawl(base))
-            runs["candidate"].append(run_crawl(REPO))
+            # alternate which tree goes first: a window that decays
+            # monotonically would otherwise always tax the second runner
+            order = (("baseline", base), ("candidate", REPO)) if i % 2 == 0 \
+                else (("candidate", REPO), ("baseline", base))
+            for tag, tree in order:
+                runs[tag].append(run_crawl(tree))
             print(f"pair {i}: baseline {runs['baseline'][-1]} "
                   f"candidate {runs['candidate'][-1]}", file=sys.stderr)
     med = {k: statistics.median(v) for k, v in runs.items()}
