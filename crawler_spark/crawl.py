@@ -519,6 +519,19 @@ class CrawlEngine:
         rep = EpochReport(epoch=epoch)
         cfg = self.cfg
 
+        # O(1) termination probe: an all-settled frontier has no data files
+        # in its pending-family buckets (they hold empty version dirs), which
+        # the manifest + a dirlist can see without any Spark job — the
+        # fixed-point epoch costs zero actions instead of a selection plan,
+        # a scratch write and a collect. (Legacy mixed-family stores keep
+        # live files below P until their next write, so they take the normal
+        # path and terminate via the selection count as before.)
+        if isinstance(self.store.read_manifest()["tables"].get("frontier"), dict) \
+                and not self.store.has_live_buckets(
+                    "frontier", list(range(cfg.num_partitions))):
+            rep.wall_s = _time.time() - t0
+            return rep
+
         # O(pending) selection input: reads only the pending-family buckets
         # (see _frontier_fbucket) — done/error rows, the corpus mass at
         # steady state, are pruned by path, not by filter
@@ -613,48 +626,67 @@ class CrawlEngine:
         # --- seen-set maintenance (J3/J4 + A1), incl. removed-file wipes ---
         # per-file diffs live entirely in the touched host buckets: read ONLY
         # those (explicit path pruning — O(touched), not O(seen-set))
-        seen_touched = self.store.read_buckets(self.spark, "url_seen", only=touched)
-        processed_keys = (
-            ok_keys.unionByName(removal_jobs.select("file_url", "user_id"))
-        )
-        existing = seen_touched.join(processed_keys, ["file_url", "user_id"], "left_semi")
-
         ext_ids = extracted.select(
             "file_url", "user_id", "id", "queued_at",
             host_hash_expr(host_from_url_expr(F.col("file_url")), cfg.num_partitions)
             .alias("host_hash"),
         )
-        # persisted per-bucket Blooms (updated_blooms): read the touched
-        # buckets' blobs; first epoch (no blobs yet) builds from seen_touched
-        persisted_blooms = (
-            self.store.read_buckets(self.spark, "blooms", only=touched)
-            if cfg.use_bloom and self.store.exists("blooms") else None
-        )
-        added_df = seen.anti_join_new_ids(
-            ext_ids, existing, use_bloom=cfg.use_bloom, blooms=persisted_blooms)
-        removed_df = existing.select("file_url", "user_id", "id").join(
-            ext_ids, ["file_url", "user_id", "id"], "left_anti"
-        )
-        # pin the (small) diffs to scratch: SIX downstream sinks reference
-        # them, and a cache() would leave each sink's logical plan carrying
-        # the full bloom+anti-join lineage — the driver re-analyzes and
-        # re-optimizes that deep tree per action (cache shortcuts execution,
-        # not planning). Flat parquet reads keep every sink's plan shallow:
-        # fixed driver cost per epoch stays O(1) in pipeline depth.
+        # never-crawled hosts (no data files in the touched seen buckets —
+        # a manifest+dirlist check, no job): every extracted id is new and
+        # nothing can be removed, so the bloom read, the semi/anti joins and
+        # the removed-diff materialize are skipped outright. This is every
+        # first-contact epoch — the bench's whole crawl and, at 10^10 URLs,
+        # every frontier-expansion epoch's fresh-host partition.
+        seen_live = self.store.has_live_buckets("url_seen", only=touched)
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=2) as pre:
-            f_add = pre.submit(self.store.materialize, self.spark, added_df, "added_epoch")
-            f_rem = pre.submit(self.store.materialize, self.spark, removed_df, "removed_epoch")
-            added, removed = f_add.result(), f_rem.result()
+        if seen_live:
+            seen_touched = self.store.read_buckets(self.spark, "url_seen", only=touched)
+            processed_keys = (
+                ok_keys.unionByName(removal_jobs.select("file_url", "user_id"))
+            )
+            existing = seen_touched.join(
+                processed_keys, ["file_url", "user_id"], "left_semi")
+            # persisted per-bucket Blooms (updated_blooms): read the touched
+            # buckets' blobs; no blobs yet → build from seen_touched
+            persisted_blooms = (
+                self.store.read_buckets(self.spark, "blooms", only=touched)
+                if cfg.use_bloom and self.store.exists("blooms") else None
+            )
+            added_df = seen.anti_join_new_ids(
+                ext_ids, existing, use_bloom=cfg.use_bloom, blooms=persisted_blooms)
+            removed_df = existing.select("file_url", "user_id", "id").join(
+                ext_ids, ["file_url", "user_id", "id"], "left_anti"
+            )
+            # pin the (small) diffs to scratch: SIX downstream sinks reference
+            # them, and a cache() would leave each sink's logical plan carrying
+            # the full bloom+anti-join lineage — the driver re-analyzes and
+            # re-optimizes that deep tree per action (cache shortcuts execution,
+            # not planning). Flat parquet reads keep every sink's plan shallow:
+            # fixed driver cost per epoch stays O(1) in pipeline depth.
+            with ThreadPoolExecutor(max_workers=2) as pre:
+                f_add = pre.submit(self.store.materialize, self.spark, added_df, "added_epoch")
+                f_rem = pre.submit(self.store.materialize, self.spark, removed_df, "removed_epoch")
+                added, removed = f_add.result(), f_rem.result()
+            rows_added = self.store.scratch_rows("added_epoch")
+            rows_removed = self.store.scratch_rows("removed_epoch")
+        else:
+            seen_touched = self.spark.createDataFrame([], URL_SEEN)
+            persisted_blooms = None
+            added = self.store.materialize(self.spark, ext_ids, "added_epoch")
+            removed = seen_touched.select("file_url", "user_id", "id")
+            rows_added = self.store.scratch_rows("added_epoch")
+            rows_removed = 0
         if cfg.collect_stats:
-            rep.ids_added = added.count()   # parquet footer counts — no recompute
-            rep.ids_removed = removed.count()
+            rep.ids_added = rows_added   # parquet footer counts — no jobs
+            rep.ids_removed = rows_removed
 
         # new content of the touched url_seen buckets (other buckets: zero I/O)
+        added_seen_cols = added.select("file_url", "user_id", "id", "host_hash")
         seen_content = (
             seen_touched.join(removed, ["file_url", "user_id", "id"], "left_anti")
-            .unionByName(added.select("file_url", "user_id", "id", "host_hash"))
+            .unionByName(added_seen_cols)
+            if seen_live else added_seen_cols
         )
 
         # --- ref-count gates (A1) BEFORE the expensive embed stage ---
@@ -836,12 +868,13 @@ class CrawlEngine:
         # buckets.
         from concurrent.futures import ThreadPoolExecutor
 
-        # cheap emptiness probe on the pinned diffs (scratch parquet
-        # footers): an epoch that re-crawled only unchanged content skips
-        # every id-derived sink — url_seen, blooms, refcounts and documents
-        # keep their current versions and zero bytes move. Only the frontier
-        # transition, metrics and errors sinks always run.
-        diffs_empty = added.isEmpty() and removed.isEmpty()
+        # emptiness probe on the pinned diffs — already known from the
+        # scratch parquet footers (zero Spark jobs): an epoch that re-crawled
+        # only unchanged content skips every id-derived sink — url_seen,
+        # blooms, refcounts and documents keep their current versions and
+        # zero bytes move. Only the frontier transition, metrics and errors
+        # sinks always run.
+        diffs_empty = rows_added == 0 and rows_removed == 0
 
         # incremental Bloom maintenance: OR this epoch's added ids into the
         # touched buckets' blobs — O(added), never a rebuild across epochs.
@@ -872,9 +905,17 @@ class CrawlEngine:
 
         def write_errors():
             # errors table is tiny (only failing files) — O(#errors) rewrite;
-            # a clean epoch with no table yet skips the sink entirely
-            if not self.store.exists("errors") and new_errors.isEmpty():
-                return None
+            # a clean epoch with no table yet skips the sink entirely. The
+            # "any errors this epoch?" probe reads the extract scratch's
+            # parquet null-count statistics driver-side (both error columns
+            # all-null ⇔ new_errors is empty) — no Spark job; columns missing
+            # statistics degrade to "maybe errors" and the write runs.
+            if not self.store.exists("errors"):
+                rows = self.store.scratch_rows("extracted_epoch")
+                nulls = self.store.scratch_null_counts(
+                    "extracted_epoch", ["fetch_error", "error"])
+                if nulls["fetch_error"] == rows and nulls["error"] == rows:
+                    return None
             return self.store.write(errors_after, "errors")
 
         versions = {}

@@ -1,12 +1,14 @@
 """Multimodal columns: opaque binary payloads + typed metadata.
 
 Treats image/audio/video as ``binary`` columns with a sidecar metadata
-struct, processed with Arrow-batched ``mapInPandas`` kernels. The actual
-codecs (Pillow/ffmpeg/torchaudio) are NOT in this container, so the decode
-kernels are deterministic STUBS behind ``_decode_image_stub`` — clearly
-marked — while everything Spark-side (schemas, batch shapes, partitioning,
-UDF signatures, null handling) is real and tested. Swapping in a real codec
-touches only the two ``_decode_*_stub`` functions.
+struct, processed with Arrow-batched ``mapInPandas`` kernels. The image
+decoder is real when Pillow is importable (JPEG/PNG/etc. via
+``_decode_image_pil``) and falls back to the deterministic SIMG stub
+container otherwise — this sandbox has no Pillow/ffmpeg, so tests here run
+the stub path, while a deployed cluster with Pillow gets real decoding with
+zero code change (the kernel calls one dispatcher, ``decode_image_bytes``,
+in both modes). Everything Spark-side (schemas, batch shapes, partitioning,
+UDF signatures, null handling) is identical in both modes and tested.
 
 The stub "image" format (testable end-to-end):
   bytes 0-3   magic  b"SIMG"
@@ -27,6 +29,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 MAGIC = b"SIMG"
+
+try:  # optional dependency: real codec when deployed with Pillow
+    from PIL import Image as _PILImage
+except ImportError:  # sandbox path: SIMG stub container only
+    _PILImage = None
 
 #: output schema of decode_image_features
 IMAGE_FEATURES_SCHEMA = (
@@ -68,6 +75,45 @@ def _decode_image_stub(blob: bytes) -> dict | None:
     return {"width": int(width), "height": int(height), "mean_luma": mean, "phash": phash}
 
 
+def _decode_image_pil(blob: bytes) -> dict | None:
+    """Real decoder (Pillow): JPEG/PNG/WebP/... → the same feature contract
+    as the stub. Average-hash phash: 8×8 block-mean sign bits over the
+    grayscale plane — the standard aHash."""
+    import io
+
+    try:
+        with _PILImage.open(io.BytesIO(blob)) as im:
+            width, height = im.size
+            arr = np.asarray(im.convert("L"), dtype=np.uint8)
+    except Exception:  # undecodable bytes → None, same as the stub contract
+        return None
+    if arr.size == 0:
+        return None
+    mean = float(arr.mean())
+    h, w = arr.shape
+    if h >= 8 and w >= 8:
+        gh, gw = h // 8, w // 8
+        coarse = arr[: gh * 8, : gw * 8].reshape(8, gh, 8, gw).mean(axis=(1, 3))
+        bits = (coarse > coarse.mean()).astype(np.uint8)
+        phash = np.packbits(bits.ravel()).tobytes().hex()
+    else:
+        phash = ""
+    return {"width": int(width), "height": int(height), "mean_luma": mean, "phash": phash}
+
+
+def decode_image_bytes(blob: bytes | None) -> dict | None:
+    """One dispatcher for both modes (identical kernel code path): the SIMG
+    stub container decodes everywhere; anything else decodes iff Pillow is
+    importable. Returns the typed feature dict or None for undecodable."""
+    if blob is None or len(blob) < 4:
+        return None
+    if blob[:4] == MAGIC:
+        return _decode_image_stub(blob)
+    if _PILImage is not None:
+        return _decode_image_pil(blob)
+    return None
+
+
 def decode_image_features(images: DataFrame, key_col: str = "key", blob_col: str = "image") -> DataFrame:
     """Arrow-batched feature extraction over a binary image column."""
 
@@ -76,7 +122,7 @@ def decode_image_features(images: DataFrame, key_col: str = "key", blob_col: str
             out = []
             for key, blob in zip(pdf[key_col], pdf[blob_col]):
                 blob = bytes(blob) if blob is not None else None
-                feat = _decode_image_stub(blob)
+                feat = decode_image_bytes(blob)
                 out.append({
                     "key": key,
                     "width": feat["width"] if feat else None,

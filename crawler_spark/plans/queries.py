@@ -521,19 +521,50 @@ def _minhash_cols():
     ]
 
 
+def _capped_bucket_rows(df, keys: list[str], cap: int, min_n: int = 1):
+    """Drop rows of over-populated bucket keys BEFORE any array buffer exists.
+
+    The r3 shape aggregated ``collect_list`` per key and THEN filtered on
+    ``size(ds) <= cap`` — the aggregation buffer for a degenerate key
+    (boilerplate/empty docs sharing one band or shingle) held the key's full
+    doc-id array before the filter dropped it: an OOM/straggler on one task
+    at 10^10 docs (r3 verdict finding #1). Here the key's cardinality is a
+    ``count() OVER (PARTITION BY keys)`` window on the SAME single exchange
+    the groupBy needs: rows of over-cap keys are filtered out *before* the
+    downstream ``collect_list``, whose buffers are then bounded by ``cap``.
+    A degenerate key's rows pass through the window operator's spill-backed
+    sort buffer (bounded memory, disk-backed) instead of an agg hash buffer
+    (unbounded heap), and never reach the collect. Compared with the
+    pin-count-broadcast-anti-join alternative this keeps the one-exchange
+    shape, needs no scratch pass over the full bands table, and has no
+    broadcast whose size depends on how many keys are hot.
+
+    The downstream ``groupBy(keys)`` reuses the window's hash partitioning —
+    no second exchange (plan-tested).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*[F.col(k) for k in keys])
+    return (
+        df.withColumn("_kn", F.count(F.lit(1)).over(w))
+        .filter((F.col("_kn") >= min_n) & (F.col("_kn") <= cap))
+        .drop("_kn")
+    )
+
+
 def q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash(6) + LSH(3 bands × 2) candidate pairs over word 3-gram shingles.
 
     All hashing is md5-on-strings so the oracle reproduces it bit-for-bit.
     Scale shape: signatures and band values are computed scan-side in one
     pipeline pass (higher-order array fns in whole-stage codegen); the ONLY
-    shuffle of the corpus is the band groupBy, after which pairs are emitted
-    from each bucket's sorted doc-id array scan-side. The stop cut — a
-    degenerate band value shared by > _BUCKET_CAP docs would fan out
-    quadratically; real near-dup clusters that large are resolved by exact
-    dedup upstream — is a free filter on bucket size here, not a join (the
-    round-2/3 anti-join formulations recomputed the whole signature pipeline
-    up to 4× as both hot-list build and both self-join sides).
+    shuffle of the corpus is the band exchange, after which a count window
+    drops degenerate bands (> _BUCKET_CAP docs — real near-dup clusters that
+    large are resolved by exact dedup upstream) BEFORE the bucket arrays are
+    collected, and pairs are emitted from each surviving bucket's sorted
+    doc-id array scan-side (see :func:`_capped_bucket_rows` for why the cut
+    runs pre-collect, and why it is not a hot-list join — the round-2/3
+    anti-join formulations recomputed the whole signature pipeline up to 4×).
     """
     base = _spread(_doubled_near(spark, sf_dir))
     sig = (
@@ -555,9 +586,9 @@ def q_dedup_minhash_lsh(spark, sf_dir):
         ).alias("band"),
     ).select("doc_id", "band.band_idx", "band.band_val")
     buckets = (
-        bands.groupBy("band_idx", "band_val")
+        _capped_bucket_rows(bands, ["band_idx", "band_val"], _BUCKET_CAP, min_n=2)
+        .groupBy("band_idx", "band_val")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
-        .filter((F.size("ds") >= 2) & (F.size("ds") <= _BUCKET_CAP))
     )
     return (
         buckets.select(_pairs_from_bucket().alias("p"))
@@ -711,12 +742,13 @@ FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
 def q_dedup_ngram_jaccard(spark, sf_dir):
     """n-gram Jaccard near-dup pairs — integer set sizes only (exact).
 
-    Shape: distinct (doc, shingle) explode → ONE groupBy-shingle shuffle →
-    per-bucket pair emission + per-doc sizes, both read from the same
-    shuffled aggregate (ReusedExchange — the shingle pipeline runs once).
-    Common shingles fan out quadratically, so buckets with df > 100 are
-    dropped by a size filter (stop-shingle cut, standard trick) — no
-    hot-list join, and the cut bounds the per-bucket pair expansion.
+    Shape: distinct (doc, shingle) explode → ONE shingle exchange → count
+    window drops shingles with df > 100 BEFORE any bucket array is collected
+    (stop-shingle cut with bounded agg buffers — :func:`_capped_bucket_rows`)
+    → per-bucket pair emission + per-doc sizes, both read from the same
+    shuffled window output (ReusedExchange — the shingle pipeline runs
+    once). No hot-list join, and the cut bounds the per-bucket pair
+    expansion AND the collect buffer.
     """
     base = _spread(_doubled_near(spark, sf_dir))
     sh = (
@@ -724,18 +756,15 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
         .withColumn("shingles", F.expr(_SHINGLES_SPARK))
         .select("doc_id", F.explode(F.array_distinct("shingles")).alias("s"))
     )
+    ok = _capped_bucket_rows(sh, ["s"], 100)
+    sizes = ok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     buckets = (
-        sh.groupBy("s")
+        ok.groupBy("s")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
-        .filter(F.size("ds") <= 100)
-    )
-    sizes = (
-        buckets.select(F.explode("ds").alias("doc_id"))
-        .groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+        .filter(F.size("ds") >= 2)
     )
     inter = (
-        buckets.filter(F.size("ds") >= 2)
-        .select(_pairs_from_bucket().alias("p"))
+        buckets.select(_pairs_from_bucket().alias("p"))
         .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("inter_sz"))
     )
@@ -967,12 +996,24 @@ def q_ann_ivf_bucketed(spark, sf_dir):
 
     Buckets = 4-bit sign code over the first four dimensions (float sign is
     exact in both engines). Candidates shuffle once on bucket; each query
-    probes only its own bucket, so the pairwise stage touches ~1/16 of the
-    corpus — the same plan shape as operators/similarity.lsh_topk with
-    seeded random hyperplanes. Output is rank-only (no float column).
+    MULTI-PROBES its own bucket plus the four hamming-1 neighbors (the
+    aligned dimension being near zero is exactly when the sign bit is
+    noisy), so the pairwise stage touches ~5/16 of the corpus instead of
+    all of it — the n_probe=5 analogue of operators/similarity.lsh_topk.
+    Probe buckets are distinct per query, so no pair is scored twice.
+    Output is rank-only (no float column).
     """
-    emb = _t(spark, sf_dir, "embeddings").withColumn(
+    return ivf_signbucket_topk(_t(spark, sf_dir, "embeddings"))
+
+
+def ivf_signbucket_topk(emb, k: int = 3, query_pred=None):
+    """The catalog IVF shape over any (vec_id, embedding) frame — reused by
+    the planted-corpus recall test (tests/test_similarity.py). ``query_pred``
+    defaults to the catalog's ``vec_id < 10``; candidates are the rest."""
+    emb = emb.withColumn(
         "vd", F.expr("transform(embedding, x -> cast(x AS double))"))
+    if query_pred is None:
+        query_pred = F.col("vec_id") < 10
     bucket = (
         (F.col("vd")[0] > 0).cast("int")
         + (F.col("vd")[1] > 0).cast("int") * 2
@@ -981,10 +1022,13 @@ def q_ann_ivf_bucketed(spark, sf_dir):
     )
     norm = F.sqrt(F.expr("aggregate(vd, 0D, (acc, x) -> acc + x * x)"))
     v = emb.withColumn("bucket", bucket).withColumn("nrm", norm)
-    q = v.filter(F.col("vec_id") < 10).select(
+    q = v.filter(query_pred).select(
         F.col("vec_id").alias("query_id"), F.col("vd").alias("qv"),
-        F.col("nrm").alias("qn"), "bucket")
-    c = v.filter(F.col("vec_id") >= 10).select(
+        F.col("nrm").alias("qn"),
+        F.explode(F.array(*[
+            F.col("bucket").bitwiseXOR(F.lit(m)) for m in (0, 1, 2, 4, 8)
+        ])).alias("bucket"))
+    c = v.filter(~query_pred).select(
         F.col("vec_id").alias("neighbor_id"), F.col("vd").alias("cv"),
         F.col("nrm").alias("cn"), "bucket")
     dot = F.expr("aggregate(zip_with(qv, cv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
@@ -993,7 +1037,7 @@ def q_ann_ivf_bucketed(spark, sf_dir):
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 3)
+        .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id")
     )
 
@@ -1007,7 +1051,10 @@ WITH v AS (
          + 8 * CAST(embedding[4] > 0 AS INTEGER) AS bucket
   FROM embeddings
 ),
-q AS (SELECT vec_id AS query_id, vd AS qv, bucket FROM v WHERE vec_id < 10),
+q AS (SELECT vec_id AS query_id, vd AS qv,
+             unnest([bucket, xor(bucket, 1), xor(bucket, 2),
+                     xor(bucket, 4), xor(bucket, 8)]) AS bucket
+      FROM v WHERE vec_id < 10),
 c AS (SELECT vec_id AS neighbor_id, vd AS cv, bucket FROM v WHERE vec_id >= 10),
 scored AS (
   SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS cosine

@@ -19,7 +19,14 @@ The open tail session of each user stays in state until one of the above
 happens, so on a finite replay the emitted set is the batch twin's rows
 minus each user's final (not-yet-closable) session — exactly the subset a
 real pipeline could safely act on. State per key is four scalars (seq,
-count, start, last), pruned on every timeout — memory is O(active users),
+count, start, last). A timeout close does NOT drop the key's state: it
+leaves a *tombstone* ``(seq, 0, None, last)`` so the sequence counter
+survives quiet periods spanning multiple micro-batches — otherwise the
+user's next event would restart at session_seq=1 and emit duplicate
+(user_id, session_seq) keys, breaking parity with the batch twin.
+Tombstones are pruned by a secondary timeout ``TOMBSTONE_TTL_US`` after the
+last event (after which a returning user's numbering restarts — the
+documented state/eviction trade). Memory is O(users active within the TTL),
 not O(events), and the only shuffle is the groupBy(user_id) exchange.
 
 Arrival-order note: numbering parity with the batch twin holds for in-order
@@ -59,12 +66,20 @@ _STATE_SCHEMA = StructType([
 ])
 
 DEFAULT_GAP_US = 30 * 60 * 1_000_000
+#: tombstone lifetime: how long a quiet user's session_seq counter is kept
+#: after their last event before the key is evicted (and numbering restarts)
+TOMBSTONE_TTL_US = 24 * 60 * 60 * 1_000_000
 
 
 def _to_us(ts: pd.Series) -> pd.Series:
     """Epoch microseconds from a (tz-aware or naive) pandas timestamp col."""
     if ts.dt.tz is not None:
         ts = ts.dt.tz_convert("UTC").dt.tz_localize(None)
+    # normalize to ns explicitly: pandas 2.x series can carry non-ns units
+    # (e.g. datetime64[us] off an Arrow path), where a bare int64 cast would
+    # silently be 1000x off and corrupt gap detection
+    if hasattr(ts.dt, "as_unit"):
+        ts = ts.dt.as_unit("ns")
     return ts.astype("int64") // 1_000
 
 
@@ -78,8 +93,14 @@ def _row(user_id: int, seq: int, n: int, start_us: int, last_us: int) -> dict:
     }
 
 
-def make_sessionizer(gap_us: int = DEFAULT_GAP_US):
-    """Build the per-key fold passed to ``applyInPandasWithState``."""
+def make_sessionizer(gap_us: int = DEFAULT_GAP_US,
+                     tombstone_ttl_us: int = TOMBSTONE_TTL_US):
+    """Build the per-key fold passed to ``applyInPandasWithState``.
+
+    State encoding: ``n_events == 0`` means "no open session" — either a
+    fresh key or a post-timeout tombstone ``(seq, 0, None, last)`` that
+    preserves the sequence counter across quiet periods.
+    """
 
     def fold(
         key: tuple,
@@ -89,7 +110,16 @@ def make_sessionizer(gap_us: int = DEFAULT_GAP_US):
         (user_id,) = key
         if state.hasTimedOut:
             seq, n, start_us, last_us = state.get
-            state.remove()
+            if n == 0:
+                # tombstone reached its TTL: evict the key entirely
+                state.remove()
+                return
+            # close the open session, keep the counter as a tombstone so a
+            # quiet period spanning 2+ micro-batches doesn't reset numbering
+            state.update((seq, 0, None, last_us))
+            state.setTimeoutTimestamp(
+                max((last_us + tombstone_ttl_us) // 1_000,
+                    state.getCurrentWatermarkMs() + 1))
             yield pd.DataFrame([_row(user_id, seq, n, start_us, last_us)])
             return
 
@@ -103,7 +133,7 @@ def make_sessionizer(gap_us: int = DEFAULT_GAP_US):
         closed: list[dict] = []
         for us in batch["_us"].to_numpy():
             us = int(us)
-            if last_us is None:
+            if n == 0:
                 seq, n, start_us, last_us = seq + 1, 1, us, us
             elif us - last_us > gap_us:
                 closed.append(_row(user_id, seq, n, start_us, last_us))

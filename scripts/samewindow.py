@@ -38,8 +38,10 @@ def main() -> None:
     with tempfile.TemporaryDirectory(prefix="samewindow_") as td:
         base = Path(td) / "baseline"
         base.mkdir()
+        # check=True: a bad/unknown sha must fail HERE with git's message,
+        # not later as an opaque FileNotFoundError from an empty tree
         tar = subprocess.run(["git", "archive", sha], capture_output=True,
-                             cwd=str(REPO))
+                             cwd=str(REPO), check=True)
         subprocess.run(["tar", "x"], input=tar.stdout, cwd=str(base), check=True)
         runs: dict[str, list[float]] = {"baseline": [], "candidate": []}
         # one discarded warmup per tree: the first run after a tree switch

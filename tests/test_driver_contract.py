@@ -162,17 +162,57 @@ def test_minhash_is_single_pipeline_no_joins(spark, sf_dir):
 
 def test_ngram_pipeline_runs_once(spark, sf_dir):
     """The (doc, shingle) pipeline must be computed once: sizes and pairs
-    both read the same groupBy-shingle aggregate (ReusedExchange), and the
-    hot-shingle stop cut is a bucket-size filter, not a join against a
+    both read the same shingle Exchange (ReusedExchange), and the
+    hot-shingle stop cut is a count-window row filter, not a join against a
     hot/rare list."""
+    import re
+
     fn, _ = CATALOG["dedup_ngram_jaccard"]
     df = fn(spark, sf_dir)
     df.collect()  # AQE detects exchange reuse at runtime, not at planning
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" not in plan and "LeftAnti" not in plan, (
         f"stop cut is a join again:\n{plan}")
-    assert "ReusedExchange [s#" in plan, (
+    assert re.search(
+        r"ReusedExchange \[[^\]]*\], Exchange hashpartitioning\(s#", plan), (
         f"shingle Exchange not reused — pipeline recomputed per consumer:\n{plan}")
+
+
+def test_bucket_cap_filters_before_collect(spark, sf_dir):
+    """r3 verdict #1: the hot-bucket cut must bound the aggregation BUFFER,
+    not just the result — a degenerate band/shingle key (boilerplate docs)
+    must be dropped before any collect_list buffer exists, or one task
+    builds an unbounded array at 10^10 docs.
+
+    (a) semantics: a planted 150-doc degenerate key contributes no rows to
+    the collect input with cap=100; (b) plan: the cap is a row Filter on a
+    count window BELOW the collect aggregate (runs first), and no post-agg
+    size(ds) cap filter remains in the pair queries."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.plans.queries import _capped_bucket_rows
+
+    rows = [("hot", i) for i in range(150)] + [("a", 0), ("a", 1), ("b", 7)]
+    df = spark.createDataFrame(rows, "k string, doc_id long")
+    ok = _capped_bucket_rows(df, ["k"], cap=100, min_n=2)
+    got = {(r["k"], r["doc_id"]) for r in ok.collect()}
+    assert got == {("a", 0), ("a", 1)}, got  # hot dropped, singleton dropped
+
+    # the collect's input is the filtered row set: Filter(_kn <= cap) must
+    # appear BELOW ObjectHashAggregate(collect_list) in the physical tree
+    # (children print after parents), and the old post-agg size(ds) cap —
+    # which implied an unbounded buffer — must be gone from both pair plans
+    import re
+
+    for name in ("dedup_minhash_lsh", "dedup_ngram_jaccard"):
+        fn, _ = CATALOG[name]
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        agg_at = plan.index("ObjectHashAggregate")
+        filt_at = plan.index("<= 100)")
+        assert "_kn" in plan and filt_at > agg_at, (
+            f"{name}: cap filter not below the collect aggregate:\n{plan}")
+        assert not re.search(r"size\(ds#\d+[^)]*\) <= 100", plan), (
+            f"{name}: post-aggregation size cap is back:\n{plan}")
 
 
 @pytest.mark.parametrize("name", ("asof_join_events", "sessionize_events"))

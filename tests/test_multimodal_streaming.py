@@ -41,6 +41,33 @@ def test_image_decode_plumbing(spark):
     assert again["img5"]["mean_luma"] == by_key["img5"]["mean_luma"]
 
 
+def test_image_decode_real_codec_when_pillow_present(spark):
+    """With Pillow importable the SAME kernel decodes real formats: a PNG's
+    width/height/mean must come back exact. Skipped in this sandbox (no
+    Pillow); on a deployed cluster it runs with zero code change."""
+    import pytest
+
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    arr = np.tile(np.arange(24, dtype=np.uint8) * 10, (16, 1))  # 24x16 gradient
+    PIL_Image.fromarray(arr, mode="L").save(buf, format="PNG")
+    png = buf.getvalue()
+
+    df = spark.createDataFrame(
+        [{"key": "png", "image": png}, {"key": "junk", "image": b"NOTANIMAGE"}],
+        "key string, image binary",
+    )
+    by_key = {r["key"]: r for r in decode_image_features(df).collect()}
+    assert by_key["png"]["valid"] and (by_key["png"]["width"], by_key["png"]["height"]) == (24, 16)
+    assert abs(by_key["png"]["mean_luma"] - float(arr.mean())) < 1e-6
+    assert by_key["png"]["phash"]
+    assert not by_key["junk"]["valid"]
+
+
 def test_frame_sampling_plan(spark):
     vids = spark.createDataFrame(
         [{"key": "v1", "n_frames": 25}, {"key": "v2", "n_frames": 1}],
@@ -93,6 +120,142 @@ def test_streaming_dedup(spark, sf_dir, tmp_path):
     query.awaitTermination(120)
     n = spark.sql("SELECT count(DISTINCT event_id) c, count(*) n FROM dedup_out").first()
     assert n["c"] == n["n"] == 500
+
+
+class _FakeState:
+    """Minimal GroupState stand-in to drive the sessionizer fold directly —
+    deterministic control over timeouts/watermarks that a live streaming
+    query can't give a test."""
+
+    def __init__(self):
+        self._value = None
+        self.hasTimedOut = False
+        self.timeout_ms = None
+        self.watermark_ms = 0
+        self.removed = False
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, v):
+        self._value = tuple(v)
+        self.removed = False
+
+    def remove(self):
+        self._value = None
+        self.removed = True
+
+    def setTimeoutTimestamp(self, ms):
+        self.timeout_ms = ms
+
+    def getCurrentWatermarkMs(self):
+        return self.watermark_ms
+
+
+def _events_pdf(ts_us_list):
+    import pandas as pd
+
+    return pd.DataFrame({
+        "event_id": list(range(len(ts_us_list))),
+        "user_id": [7] * len(ts_us_list),
+        "ts": [pd.Timestamp(us, unit="us", tz="UTC") for us in ts_us_list],
+    })
+
+
+def test_session_seq_survives_timeout_in_dataless_batch():
+    """ADVICE r3 (medium): a >gap quiet period spanning 2+ micro-batches
+    used to state.remove() on timeout, restarting session_seq at 1 and
+    emitting duplicate (user_id, session_seq) keys. The tombstone keeps the
+    counter: the post-quiet session must be seq=2."""
+    from crawler_spark.streaming.sessions import make_sessionizer
+
+    gap = 1_000_000  # 1s
+    fold = make_sessionizer(gap_us=gap, tombstone_ttl_us=100 * gap)
+    st = _FakeState()
+
+    # batch 1: one session [t0, t0+0.5s]
+    out1 = list(fold((7,), iter([_events_pdf([0, 500_000])]), st))
+    assert sum(len(o) for o in out1) == 0  # session still open
+
+    # data-less batch: the timeout fires, closing session 1
+    st.hasTimedOut = True
+    st.watermark_ms = 10_000
+    out2 = list(fold((7,), iter([]), st))
+    rows2 = [r for o in out2 for r in o.to_dict("records")]
+    assert [(r["session_seq"], r["n_events"]) for r in rows2] == [(1, 2)]
+    assert st.exists and st.get[1] == 0  # tombstone, counter kept
+    assert st.timeout_ms is not None  # secondary TTL armed
+
+    # the user returns: next session must be seq=2, not a duplicate seq=1
+    st.hasTimedOut = False
+    out3 = list(fold((7,), iter([_events_pdf([20_000_000])]), st))
+    assert sum(len(o) for o in out3) == 0
+    assert st.get[0] == 2 and st.get[1] == 1
+
+    # close it via timeout too: emitted row is (seq=2)
+    st.hasTimedOut = True
+    rows4 = [r for o in fold((7,), iter([]), st) for r in o.to_dict("records")]
+    assert [(r["session_seq"], r["n_events"]) for r in rows4] == [(2, 1)]
+
+
+def test_session_tombstone_ttl_evicts_state():
+    from crawler_spark.streaming.sessions import make_sessionizer
+
+    gap = 1_000_000
+    fold = make_sessionizer(gap_us=gap, tombstone_ttl_us=5 * gap)
+    st = _FakeState()
+    list(fold((7,), iter([_events_pdf([0])]), st))
+    st.hasTimedOut = True
+    list(fold((7,), iter([]), st))  # close → tombstone
+    assert st.exists and st.get[1] == 0
+    list(fold((7,), iter([]), st))  # TTL timeout → evicted
+    assert st.removed and not st.exists
+
+
+def test_session_straggler_older_than_open_session():
+    """Cross-batch straggler OLDER than the open session's last event is
+    counted into the open session (docstring trade, sessions.py): it must
+    not reorder or duplicate anything, and session_end stays at the max."""
+    from crawler_spark.streaming.sessions import make_sessionizer
+
+    gap = 1_000_000
+    fold = make_sessionizer(gap_us=gap)
+    st = _FakeState()
+    list(fold((7,), iter([_events_pdf([1_000_000, 1_500_000])]), st))
+    # straggler at t=0.8s — older than last_event=1.5s but within gap
+    list(fold((7,), iter([_events_pdf([800_000])]), st))
+    seq, n, start_us, last_us = st.get
+    assert (seq, n) == (1, 3)
+    assert last_us == 1_500_000  # end not dragged backwards
+
+
+def test_session_straggler_spanning_closed_session():
+    """A straggler arriving AFTER its session was already closed in-data
+    (it is >gap older than the open session's last event) starts/joins the
+    CURRENT session rather than resurrecting the closed one — closed
+    sessions are immutable once emitted (the watermark trade)."""
+    from crawler_spark.streaming.sessions import make_sessionizer
+
+    gap = 1_000_000
+    fold = make_sessionizer(gap_us=gap)
+    st = _FakeState()
+    # batch 1: events at 0s and 5s → session 1 [0,0] closes in-data,
+    # session 2 opens at 5s
+    out1 = [r for o in fold((7,), iter([_events_pdf([0, 5_000_000])]), st)
+            for r in o.to_dict("records")]
+    assert [(r["session_seq"], r["n_events"]) for r in out1] == [(1, 1)]
+    # batch 2: straggler at 0.5s — belongs to closed session 1 by time, but
+    # that session is immutable; it folds into open session 2
+    out2 = [r for o in fold((7,), iter([_events_pdf([500_000])]), st)
+            for r in o.to_dict("records")]
+    assert out2 == []  # nothing re-emitted
+    seq, n, start_us, last_us = st.get
+    assert (seq, n, last_us) == (2, 2, 5_000_000)
 
 
 def test_streaming_sessionize_sandwich(spark, sf_dir, tmp_path):
