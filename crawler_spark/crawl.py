@@ -655,7 +655,8 @@ class CrawlEngine:
             )
             added_df = seen.anti_join_new_ids(
                 ext_ids, existing, use_bloom=cfg.use_bloom, blooms=persisted_blooms)
-            removed_df = existing.select("file_url", "user_id", "id").join(
+            removed_df = existing.select(
+                "file_url", "user_id", "id", "host_hash").join(
                 ext_ids, ["file_url", "user_id", "id"], "left_anti"
             )
             # pin the (small) diffs to scratch: SIX downstream sinks reference
@@ -674,7 +675,7 @@ class CrawlEngine:
             seen_touched = self.spark.createDataFrame([], URL_SEEN)
             persisted_blooms = None
             added = self.store.materialize(self.spark, ext_ids, "added_epoch")
-            removed = seen_touched.select("file_url", "user_id", "id")
+            removed = seen_touched.select("file_url", "user_id", "id", "host_hash")
             rows_added = self.store.scratch_rows("added_epoch")
             rows_removed = 0
         if cfg.collect_stats:
@@ -921,14 +922,24 @@ class CrawlEngine:
         versions = {}
         touched_docs: list[int] = []
         firsts = orphan_keys = None
+        # the url_seen/bloom write set is the hosts whose id sets CHANGED —
+        # a selected host whose re-crawl found identical content keeps its
+        # current bucket versions (zero bytes move). Diff hosts come from the
+        # pinned diff scratch driver-side (pyarrow column read, no job).
+        diff_hosts: list[int] = []
+        if not diffs_empty:
+            dh = self.store.scratch_column_values("added_epoch", "host_hash")
+            if rows_removed:
+                dh |= self.store.scratch_column_values("removed_epoch", "host_hash")
+            diff_hosts = sorted(int(h) for h in dh)
         with ThreadPoolExecutor(max_workers=6) as pool:
             futures = {}
             if not diffs_empty:
                 futures["url_seen"] = pool.submit(
-                    self.store.replace_buckets, seen_content, "url_seen", touched)
+                    self.store.replace_buckets, seen_content, "url_seen", diff_hosts)
                 if new_blooms is not None:
                     futures["blooms"] = pool.submit(
-                        self.store.replace_buckets, new_blooms, "blooms", touched)
+                        self.store.replace_buckets, new_blooms, "blooms", diff_hosts)
             futures["frontier"] = pool.submit(self._write_frontier, frontier_after, touched)
             # per-epoch lineage is append-only: O(1) write, unioned at read time
             f_metrics = pool.submit(self.store.append, metrics, "metrics", f"{epoch:06d}")
@@ -951,10 +962,13 @@ class CrawlEngine:
                     self.store.replace_buckets, rc_content, "refcounts",
                     rc_buckets, "rbucket")
                 if docs_for is not None:
+                    # uncompressed: the embedding column (the table's mass)
+                    # is packed float32 — codecs cost a pass and save ~0
                     futures["documents"] = pool.submit(
                         self.store.replace_buckets,
                         docs_for(firsts, orphan_keys, touched_docs),
-                        "documents", touched_docs, "bucket", True)
+                        "documents", touched_docs, "bucket", True,
+                        "uncompressed")
             for name, fut in futures.items():
                 versions[name] = fut.result()
             ev = f_errors.result()

@@ -154,6 +154,7 @@ class SnapshotStore:
         touched: list[int],
         bucket_col: str = "host_hash",
         pre_partitioned: bool = False,
+        compression: str | None = None,
     ) -> dict:
         """Write new content for exactly the ``touched`` buckets of ``name``.
 
@@ -182,7 +183,14 @@ class SnapshotStore:
                 # sink, which must not shuffle 6 KB embedded rows) pass
                 # pre_partitioned=True to skip this exchange.
                 staged = staged.repartition(max(len(touched), 1), F.col("_b"))
-            staged.write.mode("overwrite").partitionBy("_b").parquet(str(stage))
+            writer = staged.write.mode("overwrite").partitionBy("_b")
+            if compression is not None:
+                # the documents sink passes "uncompressed": its mass is the
+                # packed float32 embedding column, which no codec shrinks —
+                # snappy/zstd only add a full pass over the table's bytes
+                # (A/B-measured, NOTES.md round-4 delta)
+                writer = writer.option("compression", compression)
+            writer.parquet(str(stage))
             for b in touched:
                 nxt = int(buckets.get(str(int(b)), -1)) + 1
                 target = self._bucket_dir(name, int(b), nxt)
@@ -261,6 +269,19 @@ class SnapshotStore:
         statistics (written by Spark by default) — driver-side, no Spark job.
         A column missing statistics is reported conservatively as 0 nulls."""
         return parquet_null_counts(self.root / "scratch" / name, cols)
+
+    def scratch_column_values(self, name: str, col: str) -> set:
+        """Distinct values of one (small, e.g. bucket-id) column of a scratch
+        table — pyarrow column read, driver-side, no Spark job. Used to
+        shrink an epoch's bucket-replace write set to the buckets that
+        actually changed."""
+        import pyarrow.parquet as pq
+
+        vals: set = set()
+        for f in (self.root / "scratch" / name).glob("*.parquet"):
+            vals.update(pq.read_table(str(f), columns=[col])
+                        .column(col).unique().to_pylist())
+        return vals
 
     def has_live_buckets(self, name: str, only: list[int] | None = None) -> bool:
         """True if any of the ``only`` buckets (or any bucket) of a bucketed

@@ -233,6 +233,69 @@ def test_manual_file_add_survives_discovery_and_removes_cleanly(spark, tmp_path)
     assert not row["is_active"]
 
 
+def test_unchanged_recrawl_writes_only_diff_host_buckets(spark, tmp_path):
+    """r4: the url_seen/bloom write set is the hosts whose id sets CHANGED,
+    not every selected host. A re-crawl of 6 sites where only site 0's
+    content changed must create new url_seen/bloom bucket versions for
+    site 0's host bucket ONLY — unchanged hosts' buckets keep their current
+    versions and zero of their bytes move (the steady-state 10^10 shape:
+    most re-crawled content is unchanged)."""
+    from crawler_spark.sources.synth import chunk_url
+
+    n_sites = 6
+    pages = corpus_pages_df(spark, n_sites, 2, items_per_chunk=ITEMS)
+    cfg = CrawlConfig(num_partitions=8, salt_buckets=4)
+    engine = CrawlEngine(spark, SnapshotStore(tmp_path / "state"), pages, cfg)
+    engine.bootstrap(seeds_df(spark, n_sites))
+    engine.run()
+
+    # corpus B: identical except site 0 chunk 0's ids are all replaced
+    changed_url = chunk_url(0, 0)
+    pages_b = pages.withColumn(
+        "html",
+        F.when(
+            F.col("url") == changed_url,
+            F.encode(F.regexp_replace(F.decode(F.col("html"), "utf-8"),
+                                      "#schema-", "#schemaX-"), "utf-8"),
+        ).otherwise(F.col("html")))
+    engine_b = CrawlEngine(spark, engine.store, pages_b, cfg)
+
+    seen_vers_before = dict(engine.store.bucket_versions("url_seen"))
+    bloom_vers_before = dict(engine.store.bucket_versions("blooms"))
+
+    # re-queue every file of every site (manual re-add), then run one epoch
+    epoch = engine.store.read_manifest()["epoch"] + 1
+    all_files = [
+        {"site_url": site_host(s), "user_id": "test:user001",
+         "file_url": chunk_url(s, c), "schema_map": "manual"}
+        for s in range(n_sites) for c in range(2)
+    ]
+    engine_b.add_manual_files(spark.createDataFrame(all_files), epoch)
+    engine_b.run()
+
+    site0_bucket = spark.createDataFrame([(site_host(0),)], "h string").select(
+        F.pmod(F.hash("h"), F.lit(cfg.num_partitions)).alias("b")).first()["b"]
+    changed_seen = {
+        b for b, v in engine.store.bucket_versions("url_seen").items()
+        if seen_vers_before.get(b) != v
+    }
+    changed_blooms = {
+        b for b, v in engine.store.bucket_versions("blooms").items()
+        if bloom_vers_before.get(b) != v
+    }
+    assert changed_seen == {str(site0_bucket)}, (
+        f"unchanged hosts' url_seen buckets were rewritten: {changed_seen}")
+    assert changed_blooms == {str(site0_bucket)}, (
+        f"unchanged hosts' bloom buckets were rewritten: {changed_blooms}")
+
+    # and the diff itself landed: chunk0's ids swapped, everything else kept
+    seen = engine_b.url_seen().filter(F.col("file_url") == changed_url)
+    assert seen.filter(F.col("id").contains("#schemaX-")).count() == ITEMS
+    assert seen.filter(F.col("id").contains("#schema-")
+                       & ~F.col("id").contains("#schemaX-")).count() == 0
+    assert_refcounts_consistent(engine_b)
+
+
 def test_epoch_write_amplification_is_bucket_local(spark, tmp_path):
     """Bucket-level replace (the MERGE-INTO analogue): an epoch that touches
     one of twelve sites must write roughly that site's share of bytes for
