@@ -39,7 +39,7 @@ from crawler_spark.functions.canonical import (
     host_from_url_expr,
     host_hash_expr,
 )
-from crawler_spark.functions.embed import embed_binary_udf
+from crawler_spark.functions.embed import embed_batches_arrow
 from crawler_spark.functions.extract import (
     EXTRACTED_META_SCHEMA,
     explode_jsonld_with_meta,
@@ -51,7 +51,7 @@ from crawler_spark.functions.sitemap import (
 )
 from crawler_spark.operators import frontier as fr
 from crawler_spark.operators import politeness, seen
-from crawler_spark.schema import FRONTIER, URL_SEEN
+from crawler_spark.schema import DOCUMENTS, FRONTIER, URL_SEEN
 from crawler_spark.sources.tables import SnapshotStore
 
 
@@ -771,8 +771,12 @@ class CrawlEngine:
                         F.col("obj_json").alias("content"),
                         F.col("essential_text"),
                         F.lit(fr.epoch_ts(epoch)).alias("timestamp"),
-                        embed_binary_udf(F.col("essential_text")).alias("embedding"),
                     )
+                    # embed via mapInArrow (narrow — the bucket alignment
+                    # above survives): pass-through columns never convert to
+                    # pandas and the packed vectors are emitted zero-copy
+                    # (functions/embed.py embed_batches_arrow docstring)
+                    .mapInArrow(embed_batches_arrow(), DOCUMENTS)
                 )
                 # only the touched doc buckets are read back and rewritten —
                 # untouched embedding bytes (the table's mass) are never moved

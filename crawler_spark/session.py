@@ -48,6 +48,17 @@ def build_session(
         # Broadcast threshold: robots/politeness state and dim tables are
         # small; make sure they broadcast instead of shuffling the big side.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Dynamic-partition parquet writes (partitionBy in replace_buckets)
+        # otherwise SORT each task's rows by partition key first — for the
+        # documents sink that is a full extra pass over the 6 KB/row
+        # embedding mass, and the sort buffer (~1 GB/task at scaling-bench
+        # scale) fits the execution pool at local[1] but spills at local[4],
+        # silently anti-scaling the sink (BENCH/docsink_scaling.json: the
+        # concurrent-writer path is 1.5-2× faster at BOTH core counts).
+        # Every engine layout keeps distinct partition keys per task far
+        # below this cap (bucket-aligned repartitions), so the sort fallback
+        # never triggers.
+        .config("spark.sql.maxConcurrentOutputFileWriters", "16")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")

@@ -225,3 +225,34 @@ def test_store_materialize_pins_data(spark, tmp_path):
     assert not store.exists("probe")
     again = store.materialize(spark, spark.range(7).withColumnRenamed("id", "k"), "probe")
     assert again.count() == 7
+
+
+def test_map_in_arrow_embed_matches_pandas_udf(spark):
+    """The zero-copy ``mapInArrow`` embed kernel (the documents-sink hot
+    path) must produce byte-identical packed vectors to the reference-shaped
+    pandas-UDF path, preserve pass-through columns, and handle None/empty
+    text (zero vector) — the same contract `embed_binary_udf` carries."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from crawler_spark.functions.embed import embed_batches_arrow, embed_binary_udf
+    from pyspark.sql.types import (
+        BinaryType, LongType, StringType, StructField, StructType)
+
+    rows = [(i, f"essential text {i}" if i % 7 else ("" if i % 3 else None))
+            for i in range(500)]
+    df = spark.createDataFrame(rows, "k: long, essential_text: string")
+    out_schema = StructType([
+        StructField("k", LongType()),
+        StructField("essential_text", StringType()),
+        StructField("embedding", BinaryType()),
+    ])
+    got = (df.mapInArrow(embed_batches_arrow(), out_schema)
+             .orderBy("k").collect())
+    want = (df.withColumn("embedding", embed_binary_udf(F.col("essential_text")))
+              .orderBy("k").collect())
+    assert len(got) == len(want) == 500
+    for g, w in zip(got, want):
+        assert g.k == w.k and g.essential_text == w.essential_text
+        assert bytes(g.embedding) == bytes(w.embedding)
+        assert len(bytes(g.embedding)) == 4 * EMBED_DIM
