@@ -137,9 +137,33 @@ def main() -> None:
         marker.unlink(missing_ok=True)
 
 
+#: between interleaved pairs, re-probe the window and wait (bounded) if it
+#: collapsed below the gate — a 40-min measurement rarely fits one host
+#: window on this VM, and a pair taken in a collapsed window measures the
+#: landlord (round-3/4 evidence: per-pair efficiency tracked the probe
+#: minute-by-minute). Every probe is recorded per pair either way.
+REGATE_WAIT_S = int(os.environ.get("SPARK_GRAFT_REGATE_WAIT", "900"))
+
+
+def _regate() -> dict[str, float]:
+    import time as _time
+
+    deadline = _time.time() + REGATE_WAIT_S
+    while True:
+        bw = {str(p): bandwidth_probe(p) for p in (1, FOUR_N)}
+        bw["window_ratio"] = round(bw[str(FOUR_N)] / max(bw["1"], 0.1), 2)
+        if bw["window_ratio"] >= WINDOW_MIN_RATIO or _time.time() > deadline:
+            return bw
+        print(f"[scaling] mid-run window ratio {bw['window_ratio']} < "
+              f"{WINDOW_MIN_RATIO}; pausing before next pair", file=sys.stderr)
+        _time.sleep(120)
+
+
 def _measure(bw) -> None:
     runs: dict[int, list[dict]] = {N: [], FOUR_N: []}
-    for _ in range(REPS):
+    pair_probes: list[dict] = []
+    for rep in range(REPS):
+        pair_probes.append(bw if rep == 0 else _regate())
         for cores in (N, FOUR_N):
             runs[cores].append(run_at(cores))
 
@@ -167,6 +191,7 @@ def _measure(bw) -> None:
         "sf": lo["sf"], "reps": REPS,
         "all_runs": {str(k): [r["crawl"]["urls_per_sec"] for r in v] for k, v in runs.items()},
         "memcpy_gbps": bw,
+        "per_pair_window_probes": pair_probes,
         "detail": {"n": lo["crawl"], "4n": hi["crawl"]},
     }
 
@@ -193,6 +218,9 @@ pick can ride one lucky window; every raw run is listed below).
 
 All runs (urls/sec): N = {result["all_runs"][str(N)]}, 4N = {result["all_runs"][str(FOUR_N)]}.
 Per-pair efficiencies (interleaved order): {pair_effs}.
+Per-pair window probes (memcpy GB/s, taken immediately before each pair —
+pairs re-gate on ratio ≥ {WINDOW_MIN_RATIO} with a bounded wait):
+{json.dumps(pair_probes)}.
 
 ## Host-environment context (measured in the same window)
 

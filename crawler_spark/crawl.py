@@ -39,7 +39,7 @@ from crawler_spark.functions.canonical import (
     host_from_url_expr,
     host_hash_expr,
 )
-from crawler_spark.functions.embed import embed_batches_arrow
+from crawler_spark.functions.embed import fill_missing_embeddings_transform
 from crawler_spark.functions.extract import (
     EXTRACTED_META_SCHEMA,
     explode_jsonld_with_meta,
@@ -51,7 +51,7 @@ from crawler_spark.functions.sitemap import (
 )
 from crawler_spark.operators import frontier as fr
 from crawler_spark.operators import politeness, seen
-from crawler_spark.schema import DOCUMENTS, FRONTIER, URL_SEEN
+from crawler_spark.schema import FRONTIER, URL_SEEN
 from crawler_spark.sources.tables import SnapshotStore
 
 
@@ -771,12 +771,12 @@ class CrawlEngine:
                         F.col("obj_json").alias("content"),
                         F.col("essential_text"),
                         F.lit(fr.epoch_ts(epoch)).alias("timestamp"),
+                        # filled inside the task-side writer kernel
+                        # (fill_missing_embeddings_transform): the packed
+                        # vectors are born next to the parquet writer and
+                        # never cross the Python→JVM socket
+                        F.lit(None).cast("binary").alias("embedding"),
                     )
-                    # embed via mapInArrow (narrow — the bucket alignment
-                    # above survives): pass-through columns never convert to
-                    # pandas and the packed vectors are emitted zero-copy
-                    # (functions/embed.py embed_batches_arrow docstring)
-                    .mapInArrow(embed_batches_arrow(), DOCUMENTS)
                 )
                 # only the touched doc buckets are read back and rewritten —
                 # untouched embedding bytes (the table's mass) are never moved
@@ -966,13 +966,15 @@ class CrawlEngine:
                     self.store.replace_buckets, rc_content, "refcounts",
                     rc_buckets, "rbucket")
                 if docs_for is not None:
-                    # uncompressed: the embedding column (the table's mass)
-                    # is packed float32 — codecs cost a pass and save ~0
+                    # task-side pyarrow write + in-kernel embed fill:
+                    # uncompressed (the packed float32 mass shrinks ~0 under
+                    # any codec) and never re-encoded by the JVM writer —
+                    # the leg that dominates epoch wall and must scale N→4N
                     futures["documents"] = pool.submit(
-                        self.store.replace_buckets,
+                        self.store.replace_buckets_task_write,
                         docs_for(firsts, orphan_keys, touched_docs),
-                        "documents", touched_docs, "bucket", True,
-                        "uncompressed")
+                        "documents", touched_docs, "bucket",
+                        fill_missing_embeddings_transform(), "none")
             for name, fut in futures.items():
                 versions[name] = fut.result()
             ev = f_errors.result()

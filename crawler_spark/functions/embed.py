@@ -275,6 +275,57 @@ def embed_batches_arrow(
     return fn
 
 
+def fill_missing_embeddings_transform(
+    embed_batch=stub_embedding_batch,
+    dim: int = EMBED_DIM,
+    text_col: str = "essential_text",
+    out_col: str = "embedding",
+):
+    """Arrow-batch transform for the task-side documents writer
+    (``SnapshotStore.replace_buckets_task_write``): rows whose ``embedding``
+    is null get one computed from ``essential_text``; rows that already
+    carry a vector (re-read bucket content on a re-crawl) pass through
+    untouched.
+
+    The documents sink unions re-read old rows with this epoch's new rows
+    (embedding = null), and a union's partitions never mix legs, so in
+    practice every batch is all-null (fast path: one zero-copy BinaryArray
+    over the kernel's float32 matrix, as :func:`embed_batches_arrow`) or
+    null-free (pass-through). The mixed path is kept correct for any future
+    coalesce across the union.
+    """
+    import pyarrow as pa
+
+    item = 4 * dim
+
+    def _packed(texts) -> "pa.BinaryArray":
+        n = len(texts)
+        mat = np.ascontiguousarray(embed_batch(texts).astype("<f4", copy=False))
+        offsets = np.arange(0, (n + 1) * item, item, dtype=np.int32)
+        return pa.BinaryArray.from_buffers(
+            pa.binary(), n, [None, pa.py_buffer(offsets), pa.py_buffer(mat)])
+
+    def transform(b: "pa.RecordBatch") -> "pa.RecordBatch":
+        idx = b.schema.get_field_index(out_col)
+        emb = b.column(idx)
+        if emb.null_count == 0:
+            return b
+        if emb.null_count == len(emb):
+            new = _packed(b.column(text_col).to_pylist())
+        else:  # mixed batch: embed the null rows, keep the rest
+            null_mask = emb.is_null().to_numpy(zero_copy_only=False)
+            texts = b.column(text_col).to_pylist()
+            mat = embed_batch([t for t, m in zip(texts, null_mask) if m]).astype("<f4")
+            old = emb.to_pylist()
+            it = iter(mat)
+            new = pa.array(
+                [next(it).tobytes() if m else v for v, m in zip(old, null_mask)],
+                type=pa.binary())
+        return b.set_column(idx, b.schema.field(idx), new)
+
+    return transform
+
+
 @pandas_udf(ArrayType(FloatType()))
 def unpack_embedding_udf(blobs: pd.Series) -> pd.Series:
     """Inverse of the packed storage format: binary → array<float>."""

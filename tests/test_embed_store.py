@@ -256,3 +256,68 @@ def test_map_in_arrow_embed_matches_pandas_udf(spark):
         assert g.k == w.k and g.essential_text == w.essential_text
         assert bytes(g.embedding) == bytes(w.embedding)
         assert len(bytes(g.embedding)) == 4 * EMBED_DIM
+
+
+def test_replace_buckets_task_write_matches_jvm_writer(spark, tmp_path):
+    """The task-side pyarrow writer (documents-sink hot path) must be a
+    drop-in for `replace_buckets`: identical committed table content,
+    identical bucket-version bookkeeping, empty touched buckets get empty
+    versions, and untouched buckets keep their bytes."""
+    from pyspark.sql import functions as F
+
+    df = (spark.range(2000)
+          .select(F.col("id"),
+                  F.pmod(F.col("id"), F.lit(4)).cast("int").alias("bucket"),
+                  F.concat(F.lit("t"), F.col("id").cast("string")).alias("t")))
+
+    a = SnapshotStore(tmp_path / "jvm")
+    b = SnapshotStore(tmp_path / "task")
+    va = a.replace_buckets(df, "docs", [0, 1, 2, 3], bucket_col="bucket")
+    vb = b.replace_buckets_task_write(df, "docs", [0, 1, 2, 3], bucket_col="bucket")
+    a.commit(0, {"docs": va}); b.commit(0, {"docs": vb})
+    assert vb["buckets"] == va["buckets"]
+    ra = sorted(tuple(r) for r in a.read(spark, "docs").collect())
+    rb = sorted(tuple(r) for r in b.read(spark, "docs").collect())
+    assert ra == rb and len(rb) == 2000
+
+    # second epoch: replace bucket 1 with fewer rows, bucket 2 with nothing;
+    # buckets 0/3 untouched keep version 0
+    upd = df.filter((F.col("bucket") == 1) & (F.col("id") < 100))
+    vb2 = b.replace_buckets_task_write(upd, "docs", [1, 2], bucket_col="bucket")
+    b.commit(1, {"docs": vb2})
+    assert vb2["buckets"] == {"0": 0, "1": 1, "2": 1, "3": 0}
+    rows = b.read(spark, "docs").groupBy("bucket").count().collect()
+    got = {r["bucket"]: r["count"] for r in rows}
+    assert got == {0: 500, 1: 25, 3: 500}  # bucket 2 emptied
+
+
+def test_fill_missing_embeddings_transform_paths():
+    """All-null batches embed zero-copy, null-free batches pass through,
+    mixed batches fill only the null rows — all byte-identical to the
+    stub embedder."""
+    import pyarrow as pa
+
+    from crawler_spark.functions.embed import fill_missing_embeddings_transform
+
+    tr = fill_missing_embeddings_transform()
+    texts = [f"doc {i}" for i in range(50)]
+    want = stub_embedding_batch(texts).astype("<f4")
+
+    allnull = pa.RecordBatch.from_pydict({
+        "essential_text": pa.array(texts),
+        "embedding": pa.array([None] * 50, type=pa.binary())})
+    out = tr(allnull)
+    got = [bytes(v.as_py()) for v in out.column("embedding")]
+    assert got == [want[i].tobytes() for i in range(50)]
+
+    nonull = out
+    assert tr(nonull) is nonull  # pass-through, no copy
+
+    mixed = pa.RecordBatch.from_pydict({
+        "essential_text": pa.array(texts),
+        "embedding": pa.array(
+            [want[i].tobytes() if i % 3 else None for i in range(50)],
+            type=pa.binary())})
+    outm = tr(mixed)
+    gotm = [bytes(v.as_py()) for v in outm.column("embedding")]
+    assert gotm == [want[i].tobytes() for i in range(50)]
