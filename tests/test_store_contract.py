@@ -177,3 +177,28 @@ def test_txnlog_checkpoint_bounds_replay(spark, tmp_path):
     cold = TxnLogStore(tmp_path / "s")
     assert cold.read_manifest() == store.read_manifest()
     assert [r["k"] for r in cold.read(spark, "t").collect()] == ["v11"]
+
+
+def test_task_write_replace_contract(spark, make_store):
+    """`replace_buckets_task_write` carries the same contract as
+    `replace_buckets` on every backend: invisible until commit, per-bucket
+    versioning, O(touched) replace, crash re-run overwrite of an
+    uncommitted version."""
+    store = make_store()
+    df = _df(spark, [(h, f"k{h}{i}", i) for h in (0, 1, 2) for i in range(5)])
+    v = store.replace_buckets_task_write(df, "t", [0, 1, 2], bucket_col="host_hash")
+    assert not store.exists("t")
+    store.commit(0, {"t": v})
+    assert store.read(spark, "t").count() == 15
+    assert store.bucket_versions("t") == {"0": 0, "1": 0, "2": 0}
+
+    # touched-only replace; untouched bucket keeps bytes and version
+    upd = _df(spark, [(1, "k1x", 99)])
+    v2 = store.replace_buckets_task_write(upd, "t", [1], bucket_col="host_hash")
+    # crash before commit: re-run must overwrite the uncommitted version
+    v2 = store.replace_buckets_task_write(upd, "t", [1], bucket_col="host_hash")
+    store.commit(1, {"t": v2})
+    assert store.bucket_versions("t") == {"0": 0, "1": 1, "2": 0}
+    got = sorted((r.host_hash, r.k, r.v) for r in store.read(spark, "t").collect())
+    assert [r for r in got if r[0] == 1] == [(1, "k1x", 99)]
+    assert len(got) == 11
