@@ -577,21 +577,35 @@ class CrawlEngine:
         if self._fetcher is not None:
             fetched = self._fetcher(jobs_cols)  # FETCHED_SCHEMA, real HTTP
         else:
-            # deterministic pages-join stand-in: missing url ⇒ a 404
-            fetched = (
+            # deterministic pages-join stand-in: missing url ⇒ a 404.
+            # Shaped so page BODIES never shuffle: a plain left join from
+            # jobs would sort/exchange the html mass (the outer side of a
+            # left join cannot be broadcast), so instead the small job list
+            # broadcasts into an inner join that leaves the bodies scan in
+            # place, and the 404 markers come from an anti-join that moves
+            # only url strings. The epoch's selection is politeness-bounded
+            # (a working set, not the corpus), which is what makes the
+            # broadcast legitimate; the production path is the mapInPandas
+            # HTTP kernel, which joins nothing at all.
+            html_t = dict(self._page_bodies.dtypes)["html"]
+            ok = (
+                self._page_bodies.withColumnRenamed("url", "file_url")
+                .join(F.broadcast(jobs_cols), "file_url")
+                .withColumn("status_code", F.lit(200))
+                .withColumn("fetch_error", F.lit(None).cast("string"))
+            )
+            missing = (
                 jobs_cols.join(
-                    self._page_bodies.withColumnRenamed("url", "file_url"),
-                    "file_url", "left")
-                .withColumn(
-                    "status_code",
-                    F.when(F.col("html").isNotNull(), F.lit(200)).otherwise(F.lit(404)))
+                    self._page_bodies.select(F.col("url").alias("file_url")),
+                    "file_url", "left_anti")
+                .withColumn("html", F.lit(None).cast(html_t))
+                .withColumn("status_code", F.lit(404))
                 .withColumn(
                     "fetch_error",
-                    F.when(
-                        F.col("html").isNull(),
-                        F.concat(F.lit("HTTP 404: "), F.col("file_url"),
-                                 F.lit(" not available in source"))))
+                    F.concat(F.lit("HTTP 404: "), F.col("file_url"),
+                             F.lit(" not available in source")))
             )
+            fetched = ok.unionByName(missing)
         extracted_raw = (
             fetched.select("file_url", F.col("html").alias("body"),
                            "user_id", "site_url", "queued_at",
@@ -599,10 +613,12 @@ class CrawlEngine:
             .mapInPandas(explode_jsonld_with_meta, schema=EXTRACTED_META_SCHEMA)
             .withColumn("partition_id", F.spark_partition_id())
         )
+        # U1 (within-file id dedup) lives inside the extract kernel
+        # (first-occurrence wins, reference worker.py:216-218 parity) —
+        # frontier rows are unique per (file_url, user_id), so no epoch-wide
+        # dropDuplicates shuffle over the extracted mass is needed
         scratch = self.store.materialize(
-            self.spark,
-            extracted_raw.dropDuplicates(["file_url", "user_id", "id"]),  # U1 set(ids)
-            "extracted_epoch",
+            self.spark, extracted_raw, "extracted_epoch",
         )
         extracted = scratch.filter(F.col("id").isNotNull())
         if cfg.collect_stats:

@@ -238,9 +238,21 @@ _EXTRACT_COLS = ("file_url", "id", "obj_json", "types", "type_list",
 def _object_rows(file_url, body) -> list[tuple]:
     """Extracted rows for one fetched file, in :data:`_EXTRACT_COLS` order.
     Files yielding no objects emit a single null-id marker row so fetch
-    accounting (``num_ids == 0`` + the error string) survives."""
+    accounting (``num_ids == 0`` + the error string) survives.
+
+    U1 (within-file id dedup) happens HERE, first position wins — the
+    reference worker builds a per-file ``set`` of ids (worker.py:216-218)
+    and counts items post-dedup. A file's objects all pass through one
+    kernel call, so kernel-side dedup is exactly the per-file set and the
+    epoch needs no ``dropDuplicates`` over the extracted mass (that was a
+    full extra shuffle of obj_json + essential_text, and its arbitrary
+    row pick could keep a LATER duplicate's content where the reference
+    keeps the first)."""
     ids, objects, error = extract_with_error(body)
-    n = len(ids)
+    uniq: dict = {}
+    for oid, obj in zip(ids, objects):
+        uniq.setdefault(oid, obj)
+    n = len(uniq)
     if n == 0:
         return [(file_url, None, None, None, None, None, 0, 0, error)]
     return [
@@ -249,7 +261,7 @@ def _object_rows(file_url, body) -> list[tuple]:
             type_list(obj.get("@type")), extract_essential_fields(obj),
             pos, n, None,
         )
-        for pos, (oid, obj) in enumerate(zip(ids, objects))
+        for pos, (oid, obj) in enumerate(uniq.items())
     ]
 
 
