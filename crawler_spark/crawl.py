@@ -10,14 +10,19 @@ driver loop that each iteration
    maintains the frontier incrementally via two anti-joins (J1/J2);
 2. **selects** pending work within per-host politeness budgets (salted
    two-phase top-k, see ``operators/politeness.py``);
-3. **fetches** by joining the frontier against the ``pages`` table (the
-   deterministic stand-in for HTTP — S1; a real deployment swaps this join
-   for a ``mapInPandas`` HTTP kernel with identical columns);
-4. **extracts** JSON-LD objects (Arrow-batched ``mapInPandas``), diffs ids
-   against the URL-seen set (Bloom pre-filter + exact anti-join), ref-counts
-   first-occurrences / orphans set-wise (A1 as one groupBy per epoch);
-5. **indexes** first-occurrence objects (essential-fields text → embedding)
-   into ``documents`` and applies orphan deletes;
+3. **fetches** via the ``pages`` table stand-in for HTTP — S1: the small
+   selected-job list broadcasts into an inner join so page BODIES never
+   shuffle, with 404 markers from a url-only anti-join (a real deployment
+   swaps this for a ``mapInPandas`` HTTP kernel with identical columns);
+4. **extracts** JSON-LD objects (Arrow-batched ``mapInPandas``, within-file
+   id dedup inside the kernel — U1), diffs ids against the URL-seen set
+   (Bloom pre-filter + exact anti-join), ref-counts first-occurrences /
+   orphans set-wise (A1 as one groupBy per epoch);
+5. **indexes** first-occurrence objects task-side: the embed kernel fills
+   essential-fields text → embedding and writes the ``documents`` parquet
+   buckets inside the same task (``replace_buckets_task_write``), so the
+   wide embedding column never crosses Python→JVM; orphan deletes apply
+   bucket-locally;
 6. **commits** frontier/url_seen/documents/metrics snapshots atomically via
    the store manifest — crash anywhere ⇒ re-run epoch from last commit.
 

@@ -55,8 +55,8 @@ def main() -> None:
     from crawler_spark.session import build_session
     from crawler_spark.sources.tables import SnapshotStore
 
-    for m in ("replace_buckets", "write", "append", "materialize",
-              "read_buckets", "read", "commit"):
+    for m in ("replace_buckets", "replace_buckets_task_write", "write",
+              "append", "materialize", "read_buckets", "read", "commit"):
         _wrap(SnapshotStore, m)
 
     import shutil
