@@ -239,6 +239,11 @@ class CrawlEngine:
             .withColumn("schema_maps", robots_schema_maps_udf("html", "site_base"))
             .withColumn("crawl_delay", robots_crawl_delay_udf("html"))
         )
+        # O(due sites) rows, but its lineage scans the full pages table for
+        # the robots.txt join — cache it so the robots-state sink below
+        # reuses the scan the candidate pipeline already pays for, instead
+        # of re-reading every page body a second time
+        robots = robots.cache()
         self._robots_state = (
             robots.select(
                 F.col("site_url").alias("host"),
@@ -323,7 +328,7 @@ class CrawlEngine:
             f_seeds = pool.submit(self.store.write, stamped, "seeds")
             f_robots = pool.submit(self.store.write, self._robots_state, "robots")
             v, sv, rv = f_frontier.result(), f_seeds.result(), f_robots.result()
-        for df in (new_rows, removal_jobs, removed_rows):
+        for df in (new_rows, removal_jobs, removed_rows, robots):
             df.unpersist()
         self.store.commit(epoch, {"frontier": v, "seeds": sv, "robots": rv},
                           lineage_row={"stage": "discover", "added": n_added, "removed": n_removed})

@@ -66,3 +66,30 @@ def build_session(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def tune_scan_splits(spark: SparkSession, input_bytes: int,
+                     target_splits: int = 48) -> int:
+    """Size ``spark.sql.files.maxPartitionBytes`` to the job's input.
+
+    Scan-side stages (the crawl's fetch-join → extract kernel, and every
+    sink that re-reads the extract scratch) deliberately run where the data
+    already sits — no shuffle moves the page-body / extracted-text mass. The
+    flip side is that their parallelism equals the parquet SPLIT count, and
+    Spark's default 128 MB split serializes any input smaller than
+    ``cores × 128 MB`` onto a handful of tasks no matter how many cores the
+    job has. At the 10^10-URL scale the rule targets, the pages table is
+    TBs and the default is already thousands of splits per executor wave —
+    this helper returns the default unchanged there (the ``min`` clamp). At
+    bench/test scale it shrinks the split so the same plan decomposes into
+    ~``target_splits`` units at every parallelism level (identical work
+    decomposition at N and 4N cores, like a real cluster comparison where
+    the input layout is fixed).
+
+    Returns the chosen split size in bytes after setting it on the session.
+    """
+    default = 128 * 1024 * 1024
+    floor = 4 * 1024 * 1024
+    split = min(default, max(floor, input_bytes // max(target_splits, 1)))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
+    return split

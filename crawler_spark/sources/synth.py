@@ -189,7 +189,12 @@ def corpus_pages_df(
             yield pd.DataFrame(rows) if rows else pd.DataFrame(
                 {f.name: pd.Series(dtype="object") for f in PAGES.fields})
 
-    parallelism = max(spark.sparkContext.defaultParallelism, 8)
+    # at least 32 output partitions: the pages table this stands in for is
+    # TB-scale with thousands of row groups, so scan-side stages (fetch-join
+    # → extract) are never split-starved there; a handful of single-row-group
+    # files would cap those stages' parallelism at the file count regardless
+    # of cores (parquet splits below row-group granularity do no work)
+    parallelism = max(spark.sparkContext.defaultParallelism * 2, 32)
     return (
         spark.range(0, total, numPartitions=parallelism)
         .mapInPandas(render, schema=PAGES)

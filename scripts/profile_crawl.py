@@ -66,8 +66,15 @@ def main() -> None:
                           extra_conf={"spark.local.dir": local_dir})
     spark.sparkContext.setLogLevel("ERROR")
     try:
-        t_all = time.time()
         from bench import run_crawl_bench
+        if os.environ.get("SPARK_GRAFT_CRAWL_WARMUP", "1") != "0":
+            # match the scaling harness: tiny untimed warmup crawl so JIT/
+            # codegen/worker spinup is outside the profiled region, then
+            # drop its events from the report
+            run_crawl_bench(spark, "profile", CPUS, scale=(20, 4, 50, 8))
+            with _LOCK:
+                EVENTS.clear()
+        t_all = time.time()
         crawl = run_crawl_bench(spark, "profile", CPUS)
         total = time.time() - t_all
     finally:
