@@ -170,9 +170,18 @@ def _regate() -> dict[str, float]:
 def _measure(bw) -> None:
     runs: dict[int, list[dict]] = {N: [], FOUR_N: []}
     pair_probes: list[dict] = []
+    run_probes: list[dict] = []
     for rep in range(REPS):
         pair_probes.append(bw if rep == 0 else _regate())
         for cores in (N, FOUR_N):
+            # Re-gate immediately before the 4N run too: the N run takes
+            # ~10 min, so the pair-start probe is stale by the time the 4N
+            # run launches, and the 4N arm is the window-sensitive one
+            # (attempt-3 evidence: 1-core runs varied ±8% across wildly
+            # different windows while 4-core runs swung ±48%, tracking the
+            # window the 4N run ACTUALLY ran in, not the pair probe).
+            probe = _regate() if cores == FOUR_N else pair_probes[-1]
+            run_probes.append({"rep": rep, "cores": cores, **probe})
             runs[cores].append(run_at(cores))
 
     def median_run(rs: list[dict]) -> dict:
@@ -200,6 +209,7 @@ def _measure(bw) -> None:
         "all_runs": {str(k): [r["crawl"]["urls_per_sec"] for r in v] for k, v in runs.items()},
         "memcpy_gbps": bw,
         "per_pair_window_probes": pair_probes,
+        "per_run_window_probes": run_probes,
         "detail": {"n": lo["crawl"], "4n": hi["crawl"]},
     }
 
@@ -234,6 +244,9 @@ Per-pair efficiencies (interleaved order): {pair_effs}.
 Per-pair window probes (memcpy GB/s, taken immediately before each pair —
 pairs re-gate on ratio ≥ {WINDOW_MIN_RATIO} with a bounded wait):
 {json.dumps(pair_probes)}.
+Per-RUN window probes (the 4N arm re-gates immediately before launch, since
+the ~10-min N run makes the pair-start probe stale and the 4N arm is the
+window-sensitive one): {json.dumps(run_probes)}.
 
 ## Host-environment context (measured in the same window)
 

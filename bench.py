@@ -126,6 +126,7 @@ def run_crawl_bench(spark, sf_tag: str, cores: int,
     )
     # materialize the corpus once so generation cost is not billed to the crawl
     tmp = tempfile.mkdtemp(prefix="crawl_bench_", dir=bench_tmp_root())
+    prev_split = spark.conf.get("spark.sql.files.maxPartitionBytes", None)
     try:
         corpus_path = f"{tmp}/pages"
         pages.write.mode("overwrite").parquet(corpus_path)
@@ -167,6 +168,10 @@ def run_crawl_bench(spark, sf_tag: str, cores: int,
     finally:
         # crashed/killed runs must not leak multi-GB scratch into tmpfs
         shutil.rmtree(tmp, ignore_errors=True)
+        # tune_scan_splits sized the split to THIS corpus; anything the
+        # session runs afterwards should see the default again
+        if prev_split is not None:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", prev_split)
 
 
 def main() -> None:
