@@ -1804,6 +1804,143 @@ FROM s GROUP BY user_id, session_seq
 """
 
 
+# ---- line-level exact dedup (C4/CCNet-style) ------------------------
+
+#: the synthetic corpus has no newlines, so "lines" are derived as
+#: non-overlapping 8-word spans; on real web text the splitter is
+#: ``split(text, '\n')`` and everything downstream is identical.
+_LINE_SPAN_WORDS = 8
+#: deterministic boilerplate lines appended to EVERY document — the site
+#: chrome/footer text that line-level dedup exists to remove (and a hot key
+#: that exercises the skew path: one line shared by the whole corpus).
+_BOILER_LINES = (
+    "subscribe to our newsletter for weekly updates",
+    "all rights reserved terms privacy cookies sitemap",
+)
+
+_LINES_SPARK = (
+    f"concat(transform(sequence(0, cast(ceil(size(ts) / {_LINE_SPAN_WORDS}.0)"
+    f" as int) - 1), i -> concat_ws(' ', slice(ts, i * {_LINE_SPAN_WORDS} + 1,"
+    f" {_LINE_SPAN_WORDS}))), array('{_BOILER_LINES[0]}', '{_BOILER_LINES[1]}'))"
+)
+_LINES_DUCK = (
+    f"list_concat(list_transform(range(0, CAST(ceil(len(ts) /"
+    f" {_LINE_SPAN_WORDS}.0) AS BIGINT)), i -> array_to_string("
+    f"ts[(i * {_LINE_SPAN_WORDS} + 1):(i * {_LINE_SPAN_WORDS} +"
+    f" {_LINE_SPAN_WORDS})], ' ')), ['{_BOILER_LINES[0]}', '{_BOILER_LINES[1]}'])"
+)
+
+
+def q_dedup_lines(spark, sf_dir):
+    """C4/CCNet-style line-level exact dedup: drop every line that already
+    appeared earlier in the corpus (global first occurrence wins, ordered by
+    (doc_id, pos)), then reassemble each document from its surviving lines.
+    Removes boilerplate (nav/footer text repeated across a site) that
+    document-level dedup can't see. Reference analogue: the reference dedups
+    whole items only (vector_db.py upsert by @id); this is the corpus-level
+    text-cleaning twin a training pipeline needs.
+
+    Plan (2 exchanges, no join, no Python): scan-side line split →
+    posexplode → ``row_number() OVER (PARTITION BY md5(line))`` decides
+    survivors on ONE exchange keyed by line fingerprint (the degenerate key
+    — boilerplate shared by the whole corpus — flows through the window
+    operator's spill-backed sorter, never an unbounded agg buffer, same
+    rationale as ``_capped_bucket_rows``), then one exchange back on doc_id
+    to reassemble. At 100 TB both exchanges carry (hash, short line) pairs,
+    not documents; partitioning by md5 is uniform so no salting is needed,
+    and the reassembly groupBy map-side combines."""
+    docs = _t(spark, sf_dir, "documents")
+    lines = (
+        docs.select("doc_id", F.split("text", " ").alias("ts"))
+        .select("doc_id", F.expr(_LINES_SPARK).alias("ls"))
+        .select("doc_id", F.size("ls").alias("n_lines"),
+                F.posexplode("ls").alias("pos", "ln"))
+    )
+    w = Window.partitionBy(F.md5("ln")).orderBy("doc_id", "pos")
+    kept = lines.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return kept.groupBy("doc_id").agg(
+        F.first("n_lines").alias("n_lines"),
+        F.count(F.lit(1)).alias("n_kept"),
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(pos, ln))),"
+            " s -> s.ln), chr(10))"
+        ).alias("text_dedup"),
+    )
+
+
+SQL_DEDUP_LINES = f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+b AS (SELECT doc_id, {_LINES_DUCK} AS ls FROM d),
+l AS (
+  SELECT doc_id, len(ls) AS n_lines,
+         unnest(list_transform(range(1, len(ls) + 1),
+                i -> struct_pack(pos := i - 1, ln := ls[i]))) AS s
+  FROM b
+),
+lx AS (SELECT doc_id, n_lines, (s).pos AS pos, (s).ln AS ln FROM l),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY md5(ln) ORDER BY doc_id, pos) AS rn
+  FROM lx
+)
+SELECT doc_id, any_value(n_lines) AS n_lines,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       string_agg(ln, chr(10) ORDER BY pos) AS text_dedup
+FROM r WHERE rn = 1 GROUP BY doc_id
+"""
+
+
+# ---- PII scrubbing ---------------------------------------------------
+
+#: Java-regex and RE2 compatible (no lookaround, no backrefs).
+_EMAIL_RE = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}"
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction over the corpus: replace every email address with a
+    placeholder token and report per-doc match counts + scrubbed text
+    fingerprint. The corpus has no organic PII, so emails are PLANTED
+    deterministically inside the query (docs with doc_id % 7 == 0 get a
+    ``user<id>@example.com`` prefix) — the oracle plants the identical text.
+
+    Plan: pure scan-side ``regexp_replace``/``regexp_count`` (JVM codegen,
+    zero exchanges before the driver collect) — the shape a 100-TB scrub
+    pass must have: one read, one write, no shuffle, no Python. The regex is
+    written to the RE2-compatible subset so Spark (java.util.regex) and
+    DuckDB (RE2) agree byte-for-byte."""
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit("contact user"), F.col("doc_id").cast("string"),
+                     F.lit("@example.com "), F.col("text")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return planted.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.md5(F.regexp_replace("text", _EMAIL_RE, "<EMAIL>")).alias("scrubbed_md5"),
+        F.length(F.regexp_replace("text", _EMAIL_RE, "<EMAIL>")).alias("scrubbed_len"),
+    )
+
+
+SQL_PII_SCRUB = f"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN 'contact user' || CAST(doc_id AS VARCHAR) || '@example.com ' || text
+              ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS INT) AS n_emails,
+       md5(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g')) AS scrubbed_md5,
+       CAST(len(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g')) AS INT)
+         AS scrubbed_len
+FROM planted
+"""
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -1867,6 +2004,8 @@ CATALOG: dict[str, tuple[Query, str | None]] = {
     "domain_mix_weights": (q_domain_mix_weights, SQL_DOMAIN_MIX),
     "asof_join_events": (q_asof_join_events, SQL_ASOF_JOIN),
     "sessionize_events": (q_sessionize_events, SQL_SESSIONIZE),
+    "dedup_lines": (q_dedup_lines, SQL_DEDUP_LINES),
+    "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
 }
 
 

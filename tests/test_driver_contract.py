@@ -260,3 +260,52 @@ def test_catalog_is_nonempty_where_expected(spark, sf_dir):
     for name in ("dedup_exact", "dedup_minhash_lsh", "dedup_simhash_pairs", "dedup_ngram_jaccard"):
         fn, _ = CATALOG[name]
         assert fn(spark, sf_dir).count() > 0, f"{name} found no planted duplicates"
+
+
+def test_dedup_lines_semantics(spark, sf_dir):
+    """Line-level dedup must (a) strip the injected boilerplate lines from
+    every document except the global first occurrence, (b) keep first
+    occurrence by (doc_id, pos), and (c) reassemble surviving lines in
+    original order."""
+    from crawler_spark.plans.queries import _BOILER_LINES, q_dedup_lines
+
+    out = {r["doc_id"]: r for r in q_dedup_lines(spark, sf_dir).collect()}
+    first = out[min(out)]
+    # boilerplate survives only in the first doc that carries it
+    assert _BOILER_LINES[0] in first["text_dedup"]
+    carriers = [d for d, r in out.items() if _BOILER_LINES[0] in r["text_dedup"]]
+    assert carriers == [min(out)], f"boilerplate kept in {carriers}"
+    # every doc lost at least the 2 boilerplate lines except the first
+    for d, r in out.items():
+        expected_max = r["n_lines"] - (0 if d == min(out) else 2)
+        assert r["n_kept"] <= expected_max, (d, r["n_kept"], r["n_lines"])
+        # reassembly preserves order: kept lines appear as a subsequence of
+        # the doc's own line list (spot-check: count matches join arity)
+        assert r["n_kept"] == len(r["text_dedup"].split("\n"))
+
+
+def test_dedup_lines_plan_is_two_exchange_window(spark, sf_dir):
+    """The survivor decision must be a row_number window on ONE exchange
+    keyed by the line fingerprint (spill-backed sorter, bounded memory for
+    the corpus-wide boilerplate key) — no join, no cartesian; reassembly is
+    the only other exchange."""
+    from crawler_spark.plans.queries import q_dedup_lines
+
+    plan = (q_dedup_lines(spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Join" not in plan, f"dedup_lines grew a join:\n{plan}"
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_pii_scrub_is_scan_side_and_finds_planted(spark, sf_dir):
+    """The scrub pass must be shuffle-free (scan-side regex codegen) and
+    must count exactly one planted email per doc_id % 7 == 0 row."""
+    from crawler_spark.plans.queries import q_pii_scrub
+
+    df = q_pii_scrub(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, f"pii_scrub shuffles:\n{plan}"
+    rows = df.collect()
+    for r in rows:
+        want = 1 if r["doc_id"] % 7 == 0 else 0
+        assert r["n_emails"] == want, (r["doc_id"], r["n_emails"])
