@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_lines",
     "ann_cosine_topk",
     "text_quality",
     "token_stats",
