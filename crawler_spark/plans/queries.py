@@ -1889,6 +1889,111 @@ FROM r WHERE rn = 1 GROUP BY doc_id
 """
 
 
+# ---- host-graph PageRank (crawl prioritization) ---------------------
+
+_PR_HOSTS = 20          # host-id space for the derived link graph
+_PR_ITERS = 5           # fixed power iterations
+_PR_UNIT = 10**12       # fixed-point unit: ranks are integers in 1e-12 units
+
+
+def q_pagerank_hosts(spark, sf_dir):
+    """Host-level PageRank over a deterministic link graph — the authority
+    signal a crawler frontier uses to prioritize hosts (reference's
+    priority queue orders by a static score; PageRank is the standard
+    data-derived replacement). The graph is derived reproducibly from
+    lineitem: edge (l_orderkey % H) -> (l_partkey % H), deduped.
+
+    Arithmetic is FIXED-POINT INTEGER (ranks in 1e-12 units, integer
+    division everywhere): every iteration produces bit-identical values in
+    any engine, at any parallelism, under any summation order — float
+    PageRank diverges in the last bits across partition orders, which a
+    value-hash correctness gate (and a reproducible 1000-executor crawl)
+    cannot tolerate. Dangling hosts keep the damping base term only
+    (no-redistribution variant, mirrored exactly in the oracle).
+
+    Plan per iteration: broadcast the O(#hosts) rank table into the edge
+    join (edges never move), then one groupBy(dst) exchange — at web scale
+    the host universe is millions of rows while the edge set is the corpus,
+    so the shuffle is bounded by #hosts after map-side partial sums. The
+    5-iteration loop is a driver-side unroll of 5 such stages (the
+    iterative-DataFrame-job shape the engine's epoch loop also uses)."""
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        li.select(
+            (F.col("l_orderkey") % _PR_HOSTS).alias("src"),
+            (F.col("l_partkey") % _PR_HOSTS).alias("dst"),
+        )
+        # deterministic sparsifier: the raw mod-H graph is complete (every
+        # (src, dst) cell is hit at any sf), which makes PageRank uniform —
+        # keep ~3/7 of cells with per-host-varying degree so the fixture has
+        # real structure; same arithmetic in the oracle
+        .filter((F.col("src") * 31 + F.col("dst") * 17) % 7 < 3)
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = (
+        edges.select(F.col("src").alias("host_id"))
+        .unionByName(edges.select(F.col("dst").alias("host_id")))
+        .distinct()
+    )
+    n_nodes = _PR_HOSTS  # fixed universe; mod-H guarantees ids in [0, H)
+    base = (15 * _PR_UNIT // 100) // n_nodes
+    ranks = nodes.select("host_id", F.lit(_PR_UNIT // n_nodes).alias("r"))
+    out_edges = edges.join(deg, "src")  # (src, dst, deg) — static across iters
+    for _ in range(_PR_ITERS):
+        contrib = (
+            out_edges.join(
+                F.broadcast(ranks.withColumnRenamed("host_id", "src")), "src")
+            .select("dst", F.expr("r div deg").alias("c"))  # exact int div —
+            # double `/` could round up one ulp and truncate differently
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(
+                F.broadcast(contrib.withColumnRenamed("dst", "host_id")),
+                "host_id", "left")
+            .select(
+                "host_id",
+                F.expr(f"{base} + ((85 * coalesce(s, 0L)) div 100)").alias("r"),
+            )
+        )
+    return ranks.select("host_id", F.col("r").alias("rank_e12"))
+
+
+def _pr_iter_sql(prev: str, out: str) -> str:
+    return f"""
+{out} AS (
+  SELECT n.host_id,
+         {(15 * _PR_UNIT // 100) // _PR_HOSTS}
+           + CAST((85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS r
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS host_id, CAST(SUM(p.r // e.deg) AS BIGINT) AS s
+    FROM out_edges e JOIN {prev} p ON p.host_id = e.src
+    GROUP BY e.dst
+  ) c USING (host_id)
+)"""
+
+
+SQL_PAGERANK_HOSTS = f"""
+WITH edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT l_orderkey % {_PR_HOSTS} AS src, l_partkey % {_PR_HOSTS} AS dst
+    FROM lineitem
+  ) WHERE (src * 31 + dst * 17) % 7 < 3
+),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+out_edges AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)),
+nodes AS (
+  SELECT DISTINCT src AS host_id FROM edges
+  UNION SELECT DISTINCT dst FROM edges
+),
+it0 AS (SELECT host_id, {_PR_UNIT // _PR_HOSTS} AS r FROM nodes),
+{",".join(_pr_iter_sql(f"it{i}", f"it{i + 1}") for i in range(_PR_ITERS))}
+SELECT host_id, CAST(r AS BIGINT) AS rank_e12 FROM it{_PR_ITERS}
+"""
+
+
 # ---- PII scrubbing ---------------------------------------------------
 
 #: Java-regex and RE2 compatible (no lookaround, no backrefs).
@@ -2006,6 +2111,7 @@ CATALOG: dict[str, tuple[Query, str | None]] = {
     "sessionize_events": (q_sessionize_events, SQL_SESSIONIZE),
     "dedup_lines": (q_dedup_lines, SQL_DEDUP_LINES),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
+    "pagerank_hosts": (q_pagerank_hosts, SQL_PAGERANK_HOSTS),
 }
 
 

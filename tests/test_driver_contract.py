@@ -309,3 +309,24 @@ def test_pii_scrub_is_scan_side_and_finds_planted(spark, sf_dir):
     for r in rows:
         want = 1 if r["doc_id"] % 7 == 0 else 0
         assert r["n_emails"] == want, (r["doc_id"], r["n_emails"])
+
+
+def test_pagerank_fixed_point_properties(spark, sf_dir):
+    """PageRank must be non-trivial (sparsified graph -> non-uniform ranks),
+    conserve fixed-point mass up to integer-floor loss, and keep the rank
+    table on the broadcast side of the edge join (edges never shuffle for
+    the join; the only exchange per iteration is the groupBy(dst))."""
+    from crawler_spark.plans.queries import _PR_HOSTS, _PR_UNIT, q_pagerank_hosts
+
+    df = q_pagerank_hosts(spark, sf_dir)
+    rows = {r["host_id"]: r["rank_e12"] for r in df.collect()}
+    assert len(rows) == _PR_HOSTS
+    assert len(set(rows.values())) > 1, "uniform ranks — graph degenerated"
+    total = sum(rows.values())
+    # each iteration floors once per edge-contrib and once per node: loss is
+    # bounded well under 1e-6 of the unit mass
+    assert _PR_UNIT * 0.999 <= total <= _PR_UNIT, total
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 10, (
+        f"rank/contrib tables not broadcast into the per-iteration joins:\n{plan}")
