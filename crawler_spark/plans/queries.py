@@ -1889,6 +1889,88 @@ FROM r WHERE rn = 1 GROUP BY doc_id
 """
 
 
+# ---- duplicate-span detection (ExactSubstr-style) --------------------
+
+_SPAN_W = 15            # overlapping window width (words)
+_SPAN_TAIL = (
+    "freshly appended commentary that exists nowhere else in the corpus "
+    "ensuring these windows stay unique for the partial overlap fixture"
+)
+
+
+def q_dedup_spans(spark, sf_dir):
+    """ExactSubstr-style duplicate-span detection (Lee et al., 2022):
+    fraction of each document's OVERLAPPING 15-word windows that appear
+    verbatim anywhere else in the corpus — catches unaligned copies that
+    document- and line-level dedup both miss. Fixture: docs with
+    doc_id % 4 == 0 get a partial copy (same text + a unique tail), so
+    originals score 1000 per-mille and copies score fractionally.
+
+    Plan (2 exchanges, no join): scan-side window fingerprints (md5 of each
+    15-word slice — only the 16-byte hash is ever shuffled, never the span
+    text), corpus-wide duplication decided by a ``count() OVER
+    (PARTITION BY fingerprint)`` on one exchange (degenerate fingerprints
+    ride the window sorter's spill path), then one doc_id exchange for the
+    per-doc rollup. At 100 TB the explode is docs × words rows of fixed
+    16-byte keys — the same mass every shingle pipeline here carries —
+    with map-side combine on both aggregations."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.unionByName(
+        docs.filter(F.col("doc_id") % 4 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat("text", F.lit(" " + _SPAN_TAIL)).alias("text"),
+        )
+    )
+    spans = (
+        base.select("doc_id", F.split("text", " ").alias("ts"))
+        .filter(F.size("ts") >= _SPAN_W)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(ts) - {_SPAN_W - 1}),"
+                    f" i -> md5(concat_ws(' ', slice(ts, i, {_SPAN_W}))))"
+                )
+            ).alias("g"),
+        )
+    )
+    w = Window.partitionBy("g")
+    marked = spans.withColumn("dup", (F.count(F.lit(1)).over(w) > 1).cast("int"))
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("dup").alias("n_dup_spans"),
+        F.floor(
+            F.lit(1000.0) * F.sum("dup") / F.count(F.lit(1)) + F.lit(0.5)
+        ).cast("long").alias("dup_span_pm"),
+    )
+
+
+SQL_DEDUP_SPANS = f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text || ' {_SPAN_TAIL}' AS text
+  FROM documents WHERE doc_id % 4 = 0
+),
+spans AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ts) - {_SPAN_W - 2}),
+                i -> md5(array_to_string(ts[i:i + {_SPAN_W - 1}], ' ')))) AS g
+  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM base)
+  WHERE len(ts) >= {_SPAN_W}
+),
+marked AS (
+  SELECT doc_id,
+         CASE WHEN count(*) OVER (PARTITION BY g) > 1 THEN 1 ELSE 0 END AS dup
+  FROM spans
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(dup) AS BIGINT) AS n_dup_spans,
+       CAST(FLOOR(1000.0 * sum(dup) / count(*) + 0.5) AS BIGINT) AS dup_span_pm
+FROM marked GROUP BY doc_id
+"""
+
+
 # ---- host-graph PageRank (crawl prioritization) ---------------------
 
 _PR_HOSTS = 20          # host-id space for the derived link graph
@@ -2112,6 +2194,7 @@ CATALOG: dict[str, tuple[Query, str | None]] = {
     "dedup_lines": (q_dedup_lines, SQL_DEDUP_LINES),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "pagerank_hosts": (q_pagerank_hosts, SQL_PAGERANK_HOSTS),
+    "dedup_spans": (q_dedup_spans, SQL_DEDUP_SPANS),
 }
 
 

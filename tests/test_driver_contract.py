@@ -330,3 +330,24 @@ def test_pagerank_fixed_point_properties(spark, sf_dir):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 10, (
         f"rank/contrib tables not broadcast into the per-iteration joins:\n{plan}")
+
+
+def test_dedup_spans_semantics_and_shape(spark, sf_dir):
+    """ExactSubstr-style span dedup: originals of partially-copied docs must
+    score exactly 1000pm (every window re-appears in the copy), copies
+    fractional (unique tail), never-copied docs 0pm unless organically
+    duplicated; only 16-byte fingerprints shuffle (no join, 2 exchanges)."""
+    from crawler_spark.plans.queries import q_dedup_spans
+
+    df = q_dedup_spans(spark, sf_dir)
+    rows = {r["doc_id"]: r for r in df.collect()}
+    originals = [d for d in rows if d < 100000 and d % 4 == 0]
+    assert originals and all(rows[d]["dup_span_pm"] == 1000 for d in originals)
+    copies = [d for d in rows if d >= 100000]
+    assert copies and all(0 < rows[d]["dup_span_pm"] < 1000 for d in copies)
+    # after the collect AQE prints Final + Initial sections — count only the
+    # final physical plan
+    plan = (df._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0])
+    assert "Join" not in plan, f"dedup_spans grew a join:\n{plan}"
+    assert plan.count("Exchange hashpartitioning") == 2, plan
