@@ -1889,6 +1889,59 @@ FROM r WHERE rn = 1 GROUP BY doc_id
 """
 
 
+# ---- training-sequence packing ---------------------------------------
+
+_PACK_CAP = 256  # tokens per training sequence (small so the sf fixtures
+# actually wrap — production caps are 2-8k; the plan is cap-independent)
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Training-batch assembly: assign each document a (sequence id, offset)
+    inside fixed-capacity training sequences, packed contiguously in
+    deterministic doc_id order WITHIN each source shard. Documents straddle
+    sequence boundaries (start-offset assignment) — the packer's job is the
+    reproducible layout; the tokenizer-side splitter consumes it.
+
+    Plan: **1 exchange** — a running `sum() OVER (PARTITION BY source ORDER
+    BY doc_id)`. Packing is per-shard by construction (the window is keyed
+    on `source`), which is the only scale-safe shape: an unpartitioned
+    global ORDER BY window collapses the corpus into one task, while
+    per-shard packing parallelizes by shard and is what a training job
+    wants anyway (shard-local files). All arithmetic is integral."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    toks = docs.select(
+        "doc_id", "source",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    cum = toks.withColumn(
+        "start", (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long"))
+    return cum.select(
+        "doc_id", "source", "n_tokens",
+        F.expr(f"start div {_PACK_CAP}").alias("seq_id"),
+        (F.col("start") % _PACK_CAP).alias("offset_in_seq"),
+    )
+
+
+SQL_PACK_SEQUENCES = f"""
+WITH t AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+              AS BIGINT) AS start
+  FROM t
+)
+SELECT doc_id, source, n_tokens,
+       start // {_PACK_CAP} AS seq_id,
+       start % {_PACK_CAP} AS offset_in_seq
+FROM c
+"""
+
+
 # ---- duplicate-span detection (ExactSubstr-style) --------------------
 
 _SPAN_W = 15            # overlapping window width (words)
@@ -2195,6 +2248,7 @@ CATALOG: dict[str, tuple[Query, str | None]] = {
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "pagerank_hosts": (q_pagerank_hosts, SQL_PAGERANK_HOSTS),
     "dedup_spans": (q_dedup_spans, SQL_DEDUP_SPANS),
+    "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
 }
 
 

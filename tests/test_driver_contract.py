@@ -351,3 +351,28 @@ def test_dedup_spans_semantics_and_shape(spark, sf_dir):
             .split("== Initial Plan ==")[0])
     assert "Join" not in plan, f"dedup_spans grew a join:\n{plan}"
     assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_pack_sequences_layout(spark, sf_dir):
+    """Packing must be gapless and contiguous within each source shard:
+    offsets advance by exactly n_tokens (mod cap boundaries), every offset
+    is < cap, and the plan is a single partitioned-window exchange."""
+    from crawler_spark.plans.queries import _PACK_CAP, q_pack_sequences
+
+    df = q_pack_sequences(spark, sf_dir)
+    rows = sorted((r["source"], r["doc_id"], r["n_tokens"], r["seq_id"],
+                   r["offset_in_seq"]) for r in df.collect())
+    by_src = {}
+    for src, doc, n, seq, off in rows:
+        by_src.setdefault(src, []).append((doc, n, seq, off))
+    assert len(by_src) > 1
+    for src, docs in by_src.items():
+        start = 0
+        for doc, n, seq, off in docs:  # doc_id order == pack order
+            assert seq == start // _PACK_CAP and off == start % _PACK_CAP, (
+                src, doc)
+            start += n
+    plan = (df._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0])
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
