@@ -1889,6 +1889,69 @@ FROM r WHERE rn = 1 GROUP BY doc_id
 """
 
 
+# ---- bucketed range join ---------------------------------------------
+
+_RJ_BUCKET = 16  # bucket width for interval decomposition
+
+
+def q_range_join_events(spark, sf_dir):
+    """Range join (point-in-interval lookup, the GeoIP/band-lookup shape):
+    match each event's binned value against a deterministic set of irregular,
+    overlapping intervals derived from nation. The naive formulation is an
+    inequality join — Spark plans it as BroadcastNestedLoopJoin, which is
+    O(points × intervals) and dies when the interval side outgrows a
+    broadcast. This is the scale-safe decomposition: each interval explodes
+    into the fixed-width buckets it covers, points compute their bucket
+    scan-side, the join is a plain EQUI-join on the bucket key (hash
+    partitionable at any interval-side size), and the residual lo/hi check
+    is a post-join filter. Interval expansion is len/bucket_width rows —
+    bounded and tunable.
+
+    Plan: scan-side bucket math on both sides, one broadcast hash equi-join
+    (interval side here is 25 rows; at GeoIP scale the same plan shuffles on
+    the bucket key), residual filter, no nested-loop operator anywhere —
+    pinned by the plan test."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", F.floor("value").cast("long").alias("value_bin"))
+    iv = (
+        _t(spark, sf_dir, "nation")
+        .select(
+            "n_nationkey",
+            ((F.col("n_nationkey") * 53) % 460).alias("lo"),
+            (((F.col("n_nationkey") * 53) % 460)
+             + (F.col("n_nationkey") % 7 + 1) * 5).alias("hi"),
+        )
+        .select(
+            "n_nationkey", "lo", "hi",
+            F.explode(
+                F.sequence(
+                    F.expr(f"lo div {_RJ_BUCKET}"),
+                    F.expr(f"(hi - 1) div {_RJ_BUCKET}"))
+            ).alias("b"),
+        )
+    )
+    pts = ev.withColumn("b", F.expr(f"value_bin div {_RJ_BUCKET}"))
+    return (
+        pts.join(F.broadcast(iv), "b")
+        .filter((F.col("value_bin") >= F.col("lo"))
+                & (F.col("value_bin") < F.col("hi")))
+        .select("event_id", "n_nationkey", "value_bin")
+    )
+
+
+SQL_RANGE_JOIN = """
+WITH iv AS (
+  SELECT n_nationkey,
+         (n_nationkey * 53) % 460 AS lo,
+         (n_nationkey * 53) % 460 + (n_nationkey % 7 + 1) * 5 AS hi
+  FROM nation
+),
+p AS (SELECT event_id, CAST(FLOOR(value) AS BIGINT) AS value_bin FROM events)
+SELECT p.event_id, iv.n_nationkey, p.value_bin
+FROM p JOIN iv ON p.value_bin >= iv.lo AND p.value_bin < iv.hi
+"""
+
+
 # ---- training-sequence packing ---------------------------------------
 
 _PACK_CAP = 256  # tokens per training sequence (small so the sf fixtures
@@ -2249,6 +2312,7 @@ CATALOG: dict[str, tuple[Query, str | None]] = {
     "pagerank_hosts": (q_pagerank_hosts, SQL_PAGERANK_HOSTS),
     "dedup_spans": (q_dedup_spans, SQL_DEDUP_SPANS),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
+    "range_join_events": (q_range_join_events, SQL_RANGE_JOIN),
 }
 
 

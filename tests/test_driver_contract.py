@@ -376,3 +376,16 @@ def test_pack_sequences_layout(spark, sf_dir):
             .split("== Initial Plan ==")[0])
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_range_join_is_equi_not_nested_loop(spark, sf_dir):
+    """The range join must execute as a bucket EQUI-join + residual filter —
+    never the O(points x intervals) BroadcastNestedLoopJoin the naive
+    inequality formulation plans to."""
+    from crawler_spark.plans.queries import q_range_join_events
+
+    df = q_range_join_events(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan
+    assert df.count() > 0
