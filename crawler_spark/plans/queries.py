@@ -1889,6 +1889,54 @@ FROM r WHERE rn = 1 GROUP BY doc_id
 """
 
 
+# ---- hypertable rollup (multi-granularity time aggregate) -------------
+
+
+def q_hypertable_rollup(spark, sf_dir):
+    """Timescale-style hypertable rollup: the same event stream aggregated
+    at three time granularities (minute/hour/day) in ONE pass — the
+    continuous-aggregate shape. GROUPING SETS compiles to a single scan +
+    Expand (row × 3) + one hash-agg exchange, instead of three scans or a
+    union of three aggs; at 100 TB the exchange carries only (granularity,
+    bucket) partial states, and the engine's incremental twin would merge
+    per-epoch deltas into bucket stores exactly like `refcounts`. Values are summed in integer cents (explicit round() — Spark's double->
+    bigint CAST truncates while DuckDB's rounds) so the cross-engine hash
+    is bit-stable: double SUM order-divergence never enters."""
+    _t(spark, sf_dir, "events").createOrReplaceTempView("_ht_events")
+    return spark.sql(
+        """
+        SELECT CASE WHEN grouping(m) = 0 THEN 'minute'
+                    WHEN grouping(h) = 0 THEN 'hour'
+                    ELSE 'day' END AS granularity,
+               coalesce(m, h, d) AS bucket_ts,
+               count(*) AS n_events,
+               sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+        FROM (SELECT date_trunc('minute', ts) AS m,
+                     date_trunc('hour', ts) AS h,
+                     date_trunc('day', ts) AS d,
+                     value
+              FROM _ht_events)
+        GROUP BY GROUPING SETS ((m), (h), (d))
+        """
+    )
+
+
+SQL_HYPERTABLE_ROLLUP = """
+SELECT CASE WHEN grouping(m) = 0 THEN 'minute'
+            WHEN grouping(h) = 0 THEN 'hour'
+            ELSE 'day' END AS granularity,
+       coalesce(m, h, d) AS bucket_ts,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM (SELECT date_trunc('minute', ts) AS m,
+             date_trunc('hour', ts) AS h,
+             date_trunc('day', ts) AS d,
+             value
+      FROM events)
+GROUP BY GROUPING SETS ((m), (h), (d))
+"""
+
+
 # ---- bucketed range join ---------------------------------------------
 
 _RJ_BUCKET = 16  # bucket width for interval decomposition
@@ -2313,6 +2361,7 @@ CATALOG: dict[str, tuple[Query, str | None]] = {
     "dedup_spans": (q_dedup_spans, SQL_DEDUP_SPANS),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "range_join_events": (q_range_join_events, SQL_RANGE_JOIN),
+    "hypertable_rollup": (q_hypertable_rollup, SQL_HYPERTABLE_ROLLUP),
 }
 
 

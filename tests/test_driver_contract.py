@@ -389,3 +389,25 @@ def test_range_join_is_equi_not_nested_loop(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan
     assert df.count() > 0
+
+
+def test_hypertable_rollup_single_pass(spark, sf_dir):
+    """The multi-granularity rollup must be ONE scan + Expand + one
+    exchange — not three scans or a union of three aggregates — and its
+    granularities must be consistent (minute counts sum to the day count)."""
+    from crawler_spark.plans.queries import q_hypertable_rollup
+
+    df = q_hypertable_rollup(spark, sf_dir)
+    plan = (df._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0])
+    assert "Expand" in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    rows = df.collect()
+    by_g = {}
+    for r in rows:
+        by_g.setdefault(r["granularity"], []).append(r)
+    assert set(by_g) == {"minute", "hour", "day"}
+    for g in ("minute", "hour"):
+        assert sum(r["n_events"] for r in by_g[g]) == \
+            sum(r["n_events"] for r in by_g["day"]), g
