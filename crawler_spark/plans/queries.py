@@ -844,6 +844,77 @@ FROM comps GROUP BY component HAVING count(*) >= 2
 """
 
 
+def q_dedup_survivors(spark, sf_dir):
+    """End-to-end near-dup dedup: pairs → components → keep min doc_id per
+    cluster → per-source retention stats over the surviving corpus. This is
+    the full pipeline a training-data build actually runs (the reference's
+    seen-set answers "was this URL crawled"; this answers "which fetched
+    documents survive dedup" — cf. reference dedup tests around
+    code/core/db.py:205-213's MERGE-style upsert semantics).
+
+    Scale shape: the dropped set (cluster members that are not the cluster
+    min) is produced by the shuffle-bounded connected-components operator,
+    then removed from the corpus with a LEFT ANTI join on doc_id. At 10^10
+    docs the dropped side can be 30-50% of the corpus, so it is NOT
+    broadcast — both sides hash-exchange on doc_id once, which is the
+    textbook plan (dedup rate is unknowable a priori, so no smaller shape
+    exists). The retention agg is a map-side-combined hash agg on the tiny
+    source key.
+    """
+    from crawler_spark.operators.components import connected_components
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    doubled = docs.unionByName(
+        docs.select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(_NEARDUP_PAD)).alias("text"),
+            F.col("source"),
+        )
+    )
+    dropped = (
+        connected_components(q_dedup_minhash_lsh(spark, sf_dir))
+        .filter(F.col("doc_id") != F.col("component"))
+        .select("doc_id")
+    )
+    return (
+        doubled.join(dropped, "doc_id", "left_anti")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("survivors"),
+            F.sum(F.length("text")).alias("chars_kept"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )
+
+
+SQL_DEDUP_SURVIVORS = f"""
+WITH RECURSIVE pairs AS ({SQL_DEDUP_MINHASH}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+lbl (doc, comp) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, l.comp FROM edges e JOIN lbl l ON l.doc = e.b
+),
+comps AS (SELECT doc, min(comp) AS component FROM lbl GROUP BY doc),
+dropped AS (SELECT doc FROM comps WHERE doc != component),
+src AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text || '{_NEARDUP_PAD}' AS text, source
+  FROM documents
+)
+SELECT source, count(*) AS survivors,
+       CAST(sum(length(text)) AS BIGINT) AS chars_kept,
+       min(doc_id) AS min_doc_id
+FROM src
+WHERE doc_id NOT IN (SELECT doc FROM dropped)
+GROUP BY source
+"""
+
+
 def q_sample_stratified(spark, sf_dir):
     """Deterministic hash-stratified sampling — reproducible training-data
     subsampling with a per-stratum rate (no RNG: keep a doc iff the first
@@ -2330,6 +2401,7 @@ CATALOG: dict[str, tuple[Query, str | None]] = {
     "dedup_simhash_pairs": (q_dedup_simhash_pairs, SQL_SIMHASH_PAIRS),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_NGRAM_JACCARD),
     "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
+    "dedup_survivors": (q_dedup_survivors, SQL_DEDUP_SURVIVORS),
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
     # similarity search
     "ann_cosine_topk": (q_ann_topk, SQL_ANN_TOPK),

@@ -160,6 +160,31 @@ def test_minhash_is_single_pipeline_no_joins(spark, sf_dir):
         f"signature pipeline recomputed:\n{plan}")
 
 
+def test_survivors_anti_join_shape_and_retention(spark, sf_dir):
+    """dedup_survivors removes cluster non-minima with a LEFT ANTI hash
+    exchange on doc_id — never a broadcast (the dropped set can be 30-50%
+    of a 10^10-doc corpus) and never an all-pairs plan. Semantics: every
+    minhash cluster keeps exactly one member, so
+
+        survivors == 2 * |documents| - sum(cluster_size - 1).
+    """
+    fn, _ = CATALOG["dedup_survivors"]
+    df = fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan, f"dropped-doc removal is not an anti-join:\n{plan}"
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in plan, f"{bad} in survivors plan"
+    anti_lines = [l for l in plan.splitlines() if "Join" in l and "LeftAnti" in l]
+    assert anti_lines and all("Broadcast" not in l for l in anti_lines), (
+        f"corpus-sized anti-join is broadcast:\n{plan}")
+
+    survivors = sum(r.survivors for r in df.collect())
+    comp_fn, _ = CATALOG["dedup_components"]
+    dropped = sum(r.dropped_docs for r in comp_fn(spark, sf_dir).collect())
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert survivors == 2 * n_docs - dropped
+
+
 def test_ngram_pipeline_runs_once(spark, sf_dir):
     """The (doc, shingle) pipeline must be computed once: sizes and pairs
     both read the same shingle Exchange (ReusedExchange), and the
