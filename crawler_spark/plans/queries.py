@@ -2363,6 +2363,93 @@ FROM planted
 """
 
 
+def q_lm_quality_bigram(spark, sf_dir):
+    """CCNet-style statistical LM quality filter: train an add-one-smoothed
+    word-bigram LM on the corpus itself, then score every document by its
+    mean token log-probability (higher = more typical text, lower =
+    gibberish/boilerplate — the classic perplexity-bucket filter used to
+    stratify web text for training-data selection).
+
+    Cross-engine determinism: each bigram's log-probability is quantized to
+    integer milli-nats BEFORE the per-doc sum (the pagerank_hosts fixed-point
+    discipline) — integer sums are associative, so partition order cannot
+    flip a result bit; the only float ops are a single division and one ln()
+    per distinct (c_bg, c_ug) pair, each a one-shot IEEE op.
+
+    Scale shape: the tokenize/explode pass — the dominant CPU — runs ONCE:
+    the bigram frame is materialized (``localCheckpoint``, the same idiom
+    ``operators/components.py`` uses; on a real cluster this is a scratch
+    parquet write, cf. ``SnapshotStore.materialize``) and the LM hash-agg,
+    context totals, vocab size, and probe join all read the materialized
+    frame instead of re-deriving it (4 corpus scans → 1, measured in
+    ``test_lm_quality_single_tokenize_pass``). The context totals and vocab
+    size derive from the LM table, not a second corpus agg. At 10^10 docs
+    the LM would additionally be df-cut (drop count-1 bigrams into the
+    smoothing mass) and the probe becomes a left join with
+    coalesce(c_bg, 0).
+    """
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bg = (
+        docs.withColumn("ts", F.split("text", " "))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "zip_with(slice(ts, 1, size(ts) - 1),"
+                    " slice(ts, 2, size(ts) - 1),"
+                    " (a, b) -> struct(a AS w1, b AS w2))"
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", "g.w1", "g.w2")
+        .localCheckpoint()
+    )
+    lm = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bg"))
+    ug = lm.groupBy("w1").agg(F.sum("c_bg").alias("c_ug"))
+    vocab = lm.agg(F.countDistinct("w2").alias("vsz"))
+    term = (
+        bg.join(lm, ["w1", "w2"])
+        .join(ug, ["w1"])
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.floor(
+                F.lit(1000.0)
+                * F.log((F.col("c_bg") + 1) / (F.col("c_ug") + F.col("vsz")))
+                + F.lit(0.5)
+            ).cast("long").alias("fp"),
+        )
+    )
+    return term.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.floor(
+            F.lit(1.0) * F.sum("fp") / F.count(F.lit(1)) + F.lit(0.5)
+        ).cast("long").alias("avg_logprob_mnats"),
+    )
+
+
+SQL_LM_QUALITY = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+bg AS (
+  SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+  FROM tok, unnest(generate_series(1, len(ts) - 1)) AS u(i)
+),
+lm AS (SELECT w1, w2, count(*) AS c_bg FROM bg GROUP BY 1, 2),
+ug AS (SELECT w1, CAST(sum(c_bg) AS BIGINT) AS c_ug FROM lm GROUP BY 1),
+v AS (SELECT count(DISTINCT w2) AS vsz FROM lm),
+term AS (
+  SELECT doc_id,
+         CAST(FLOOR(1000.0 * ln((c_bg + 1) / (c_ug + vsz)) + 0.5) AS BIGINT)
+           AS fp
+  FROM bg JOIN lm USING (w1, w2) JOIN ug USING (w1) CROSS JOIN v
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       CAST(FLOOR(1.0 * sum(fp) / count(*) + 0.5) AS BIGINT)
+         AS avg_logprob_mnats
+FROM term GROUP BY doc_id
+"""
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -2423,6 +2510,7 @@ CATALOG: dict[str, tuple[Query, str | None]] = {
     "frame_sample_plan": (q_frame_sample_plan, SQL_FRAME_SAMPLE),
     # training-pipeline extensions + temporal event operators
     "quality_repetition": (q_quality_repetition, SQL_QUALITY_REPETITION),
+    "lm_quality_bigram": (q_lm_quality_bigram, SQL_LM_QUALITY),
     "contamination_ngrams": (q_contamination_ngrams, SQL_CONTAMINATION),
     "domain_mix_weights": (q_domain_mix_weights, SQL_DOMAIN_MIX),
     "asof_join_events": (q_asof_join_events, SQL_ASOF_JOIN),

@@ -185,6 +185,23 @@ def test_survivors_anti_join_shape_and_retention(spark, sf_dir):
     assert survivors == 2 * n_docs - dropped
 
 
+def test_lm_quality_single_tokenize_pass(spark, sf_dir):
+    """The bigram LM query must tokenize the corpus ONCE: the bigram frame
+    is materialized and the LM agg, context totals, vocab count, and probe
+    join all read the materialized frame. Without it, Spark re-derives the
+    tokenize/explode pipeline (the dominant CPU) 4× — measured as 4 parquet
+    scans in the physical plan.
+    """
+    fn, _ = CATALOG["lm_quality_bigram"]
+    plan = (
+        fn(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert plan.count("Scan parquet") == 0, (
+        f"tokenize pipeline recomputed per consumer:\n{plan}")
+
+
 def test_ngram_pipeline_runs_once(spark, sf_dir):
     """The (doc, shingle) pipeline must be computed once: sizes and pairs
     both read the same shingle Exchange (ReusedExchange), and the
