@@ -2450,6 +2450,252 @@ FROM term GROUP BY doc_id
 """
 
 
+def q_bm25_topk(spark, sf_dir):
+    """BM25 top-10 retrieval over the crawled corpus for the 5 highest-df
+    probe terms (len >= 5, df-desc/term-asc tie-break — deterministic, no
+    RNG). This is the retrieval primitive a training-data build uses for
+    decontamination lookups and retrieval-based filtering; it differs from
+    ``top_terms_per_doc`` (tf-idf salience) by the full Okapi document-length
+    normalization and corpus-level idf.
+
+    Cross-engine determinism is the fixed-point discipline: the ONLY float
+    op is one ln() per distinct df value (5 probe terms -> 5 ln calls),
+    quantized to integer micro-nats; everything downstream — avgdl, the
+    length norm, the k1/b weighting (k1=1.2, b=0.75 exactly as the scale-5000
+    integers 11000/5000/6), the final score and the rank order — is 64-bit
+    integer arithmetic (`div`), so partition order and summation order cannot
+    flip a bit. Ties rank by doc_id.
+
+    Scale shape: the tokenize/explode pass runs ONCE — the (doc, term, tf)
+    frame is materialized (``localCheckpoint``; scratch parquet on a real
+    cluster) and document lengths, document frequencies, corpus stats, and
+    the probe join all read it (plan-tested: zero residual parquet scans in
+    ``test_bm25_single_tokenize_pass``). The probe side (5 terms + idf) and
+    the corpus stats (1 row) broadcast into the tf table, so the only
+    data-sized exchanges are the tf hash-agg and the per-term top-k window —
+    and the window input is already filtered to docs CONTAINING a probe term
+    (inner join before the sort). At 10^10 docs the tf frame is the posting
+    list you would persist anyway; per-term top-k would add a per-partition
+    pre-top-k before the global window (same two-phase idiom as
+    ``operators/politeness.py``).
+    """
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tf = (
+        docs.withColumn("term", F.explode(F.split("text", " ")))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_tokens"),
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    probes = (
+        dfreq.filter(F.length("term") >= 5)
+        .orderBy(F.col("df").desc(), F.col("term"))
+        .limit(5)
+    )
+    scored = (
+        tf.join(F.broadcast(probes), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            "doc_id",
+            F.floor(
+                F.lit(1_000_000.0)
+                * F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                    + 1.0
+                )
+                + F.lit(0.5)
+            ).cast("long").alias("idf_u"),
+            F.expr("(750000 * dl) div ((1000 * total_tokens) div n_docs)")
+            .alias("bterm_m"),
+            "tf",
+        )
+        .select(
+            "term",
+            "doc_id",
+            F.expr(
+                "(idf_u * tf * 11000) div (5000 * tf + 6 * (250 + bterm_m))"
+            ).alias("bm25_micro"),
+        )
+    )
+    w = Window.partitionBy("term").orderBy(
+        F.col("bm25_micro").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("term", "rnk", "doc_id", "bm25_micro")
+    )
+
+
+SQL_BM25_TOPK = """
+WITH tf AS (
+  SELECT doc_id, u.term, count(*) AS tf
+  FROM documents, unnest(string_split(text, ' ')) AS u(term)
+  GROUP BY 1, 2
+),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+stats AS (
+  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_tokens FROM dl
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+probes AS (
+  SELECT term, df FROM dfreq WHERE len(term) >= 5
+  ORDER BY df DESC, term LIMIT 5
+),
+scored AS (
+  SELECT term, doc_id,
+         (CAST(FLOOR(1000000.0 * ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                     + 0.5) AS BIGINT)
+          * tf * 11000)
+         // (5000 * tf
+             + 6 * (250 + (750000 * dl) // ((1000 * total_tokens) // n_docs)))
+           AS bm25_micro
+  FROM tf JOIN probes USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+)
+SELECT term, rnk, doc_id, bm25_micro FROM (
+  SELECT term, doc_id, bm25_micro,
+         row_number() OVER (PARTITION BY term
+                            ORDER BY bm25_micro DESC, doc_id) AS rnk
+  FROM scored
+) WHERE rnk <= 10
+"""
+
+
+def q_hll_distinct_tokens(spark, sf_dir):
+    """HyperLogLog distinct-token count per lang, implemented IN SQL so the
+    sketch itself is cross-engine deterministic — Spark's built-in
+    ``approx_count_distinct`` and DuckDB's differ in hash and register
+    layout, so they can never share a value-hash gate; this one does, because
+    both engines fold the SAME md5-derived 60-bit hash into the SAME 256
+    registers (p=8, 52-bit rho domain). The exact-distinct column rides along
+    as the accuracy yardstick (that is the column you could NOT afford at
+    10^10 — the sketch is the scale path, the exact twin is the test).
+
+    Determinism notes: register sums use the 2^53 fixed-point trick — each
+    register contributes the exact integer 2^(53-rho) (a cast of pow(2,k),
+    exact for k <= 53), so the harmonic-mean denominator is an integer sum,
+    associative under any partition order. The only float ops are the final
+    alpha*m^2*2^53/S division and (in the linear-counting branch) one ln(),
+    both one-shot IEEE ops on identical inputs.
+
+    Scale shape: registers reduce scan-side into at most langs x 256 rows
+    (map-side combined max), so the shuffle is O(langs*256) regardless of
+    corpus size — the whole point of the sketch; mergeability across shards
+    is the max() itself. The exact column adds a distinct over (lang, term),
+    which at 10^10 you would drop (or feed from the posting list the BM25
+    operator materializes anyway).
+    """
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select("lang", F.explode(F.split("text", " ")).alias("term"))
+        .withColumn(
+            "h",
+            F.conv(F.substring(F.md5("term"), 1, 15), 16, 10).cast("long"),
+        )
+    )
+    regs = (
+        toks.select(
+            "lang",
+            F.expr("h % 256").alias("reg"),
+            F.expr(
+                "CASE WHEN h div 256 = 0 THEN 53"
+                " ELSE 53 - length(bin(h div 256)) END"
+            ).alias("rho"),
+        )
+        .groupBy("lang", "reg")
+        .agg(F.max("rho").alias("mx"))
+    )
+    folded = regs.groupBy("lang").agg(
+        F.sum(F.expr("CAST(pow(2.0, 53 - mx) AS BIGINT)")).alias("s_present"),
+        F.count(F.lit(1)).alias("m_present"),
+    )
+    est = folded.select(
+        "lang",
+        F.expr(
+            "0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 9007199254740992.0"
+            " / (s_present + (256 - m_present) * 9007199254740992)"
+        ).alias("raw_est"),
+        (F.lit(256) - F.col("m_present")).alias("v_zero"),
+    ).select(
+        "lang",
+        F.floor(
+            F.when(
+                (F.col("raw_est") <= 640.0) & (F.col("v_zero") > 0),
+                F.lit(256.0) * F.log(256.0 / F.col("v_zero")),
+            ).otherwise(F.col("raw_est"))
+            * 1000.0
+            + 0.5
+        ).cast("long").alias("hll_est_milli"),
+    )
+    exact = (
+        toks.select("lang", "term")
+        .distinct()
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    return est.join(exact, "lang").select(
+        "lang",
+        "n_exact",
+        "hll_est_milli",
+        F.expr(
+            "(abs(hll_est_milli - 1000 * n_exact) * 1000)"
+            " div (1000 * n_exact)"
+        ).alias("err_permille"),
+    )
+
+
+SQL_HLL_DISTINCT = """
+WITH toks AS (
+  SELECT lang, u.term,
+         ('0x' || substr(md5(u.term), 1, 15))::BIGINT AS h
+  FROM documents, unnest(string_split(text, ' ')) AS u(term)
+),
+regs AS (
+  SELECT lang, h % 256 AS reg,
+         max(CASE WHEN h // 256 = 0 THEN 53
+                  ELSE 53 - length(bin(h // 256)) END) AS mx
+  FROM toks GROUP BY 1, 2
+),
+folded AS (
+  SELECT lang,
+         CAST(sum(CAST(pow(2.0, 53 - mx) AS BIGINT)) AS BIGINT) AS s_present,
+         count(*) AS m_present
+  FROM regs GROUP BY 1
+),
+est AS (
+  SELECT lang,
+         0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 9007199254740992.0
+           / (s_present + (256 - m_present) * 9007199254740992) AS raw_est,
+         256 - m_present AS v_zero
+  FROM folded
+),
+esti AS (
+  SELECT lang,
+         CAST(FLOOR((CASE WHEN raw_est <= 640.0 AND v_zero > 0
+                          THEN 256.0 * ln(256.0 / v_zero)
+                          ELSE raw_est END) * 1000.0 + 0.5) AS BIGINT)
+           AS hll_est_milli
+  FROM est
+),
+exact AS (
+  SELECT lang, count(*) AS n_exact
+  FROM (SELECT DISTINCT lang, term FROM toks) GROUP BY 1
+)
+SELECT lang, n_exact, hll_est_milli,
+       (abs(hll_est_milli - 1000 * n_exact) * 1000) // (1000 * n_exact)
+         AS err_permille
+FROM esti JOIN exact USING (lang)
+"""
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -2511,6 +2757,8 @@ CATALOG: dict[str, tuple[Query, str | None]] = {
     # training-pipeline extensions + temporal event operators
     "quality_repetition": (q_quality_repetition, SQL_QUALITY_REPETITION),
     "lm_quality_bigram": (q_lm_quality_bigram, SQL_LM_QUALITY),
+    "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
+    "hll_distinct_tokens": (q_hll_distinct_tokens, SQL_HLL_DISTINCT),
     "contamination_ngrams": (q_contamination_ngrams, SQL_CONTAMINATION),
     "domain_mix_weights": (q_domain_mix_weights, SQL_DOMAIN_MIX),
     "asof_join_events": (q_asof_join_events, SQL_ASOF_JOIN),

@@ -202,6 +202,47 @@ def test_lm_quality_single_tokenize_pass(spark, sf_dir):
         f"tokenize pipeline recomputed per consumer:\n{plan}")
 
 
+def test_bm25_single_tokenize_pass(spark, sf_dir):
+    """The BM25 query must tokenize the corpus ONCE: the (doc, term, tf)
+    posting frame is materialized and document lengths, document
+    frequencies, corpus stats, and the probe join all read it — zero
+    residual parquet scans in the physical plan.
+    """
+    fn, _ = CATALOG["bm25_topk"]
+    plan = (
+        fn(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert plan.count("Scan parquet") == 0, (
+        f"tokenize pipeline recomputed per consumer:\n{plan}")
+
+
+def test_hll_sketch_accuracy_at_scale(spark, tmp_path):
+    """The catalog corpus has ~31 distinct tokens per lang (linear-counting
+    regime); this drives the same query on a planted 2000-distinct-token
+    corpus so the HLL estimator path (not linear counting) is what's
+    asserted: with m=256 registers the standard error is 1.04/sqrt(256) =
+    6.5%, so a deterministic corpus must land within ~2.5 sigma = 160
+    per-mille of exact.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = pa.table({
+        "doc_id": list(range(200)),
+        "text": [" ".join(f"tok{d}_{i}" for i in range(10)) for d in range(200)],
+        "lang": ["xx"] * 200,
+        "source": ["planted"] * 200,
+        "n_chars": [0] * 200,
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    fn, _ = CATALOG["hll_distinct_tokens"]
+    row = fn(spark, str(tmp_path)).collect()[0].asDict()
+    assert row["n_exact"] == 2000
+    assert row["err_permille"] <= 160, row
+
+
 def test_ngram_pipeline_runs_once(spark, sf_dir):
     """The (doc, shingle) pipeline must be computed once: sizes and pairs
     both read the same shingle Exchange (ReusedExchange), and the
