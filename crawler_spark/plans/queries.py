@@ -2696,6 +2696,173 @@ FROM esti JOIN exact USING (lang)
 """
 
 
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Count-min-sketch frequency estimates for the corpus's top-10 tokens,
+    with the exact count alongside. The CMS (d=4 rows x w=1024 counters,
+    md5-salted row hashes) is the streaming-frequency primitive a crawl
+    pipeline uses for hot-host / hot-token detection without a full
+    group-by; the exact column is the yardstick the sketch replaces at
+    10^10 rows. Estimates are upper bounds (overcount >= 0 always —
+    asserted as a derived column the oracle must reproduce).
+
+    Cross-engine determinism: the ENTIRE operator is 64-bit integer
+    arithmetic — md5-derived bucket indices, integer counter sums, a min()
+    over 4 candidates. Zero float ops, so this is the strongest-typed
+    sketch in the catalog (HLL needs one final float divide; CMS needs
+    none).
+
+    Scale shape: counters reduce scan-side to at most d*w = 4096 rows via
+    map-side-combined sum — O(1) state regardless of corpus size, mergeable
+    across shards by addition (the sketch property). The probe side (10
+    tokens) broadcasts. The exact tf agg — the thing you could NOT afford —
+    exists here only as the yardstick; the tokenize pass is shared between
+    sketch and yardstick via the materialized tf frame (one corpus scan).
+    """
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tf = (
+        docs.select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
+    rows4 = F.array(*[F.lit(j) for j in range(4)])
+    counters = (
+        tf.withColumn("j", F.explode(rows4))
+        .withColumn(
+            "b",
+            F.expr(
+                "cast(conv(substr(md5(concat(cast(j AS string), ':', term)),"
+                " 1, 15), 16, 10) AS BIGINT) % 1024"
+            ),
+        )
+        .groupBy("j", "b")
+        .agg(F.sum("c").alias("cnt"))
+    )
+    probes = tf.orderBy(F.col("c").desc(), F.col("term")).limit(10)
+    return (
+        F.broadcast(probes)
+        .withColumn("j", F.explode(rows4))
+        .withColumn(
+            "b",
+            F.expr(
+                "cast(conv(substr(md5(concat(cast(j AS string), ':', term)),"
+                " 1, 15), 16, 10) AS BIGINT) % 1024"
+            ),
+        )
+        .join(counters, ["j", "b"])
+        .groupBy("term")
+        .agg(
+            F.max("c").alias("n_exact"),
+            F.min("cnt").alias("cms_est"),
+        )
+        .select(
+            "term",
+            "n_exact",
+            "cms_est",
+            (F.col("cms_est") - F.col("n_exact")).alias("overcount"),
+        )
+    )
+
+
+SQL_CMS_HEAVY_HITTERS = """
+WITH tf AS (
+  SELECT u.term, count(*) AS c
+  FROM documents, unnest(string_split(text, ' ')) AS u(term)
+  GROUP BY 1
+),
+counters AS (
+  SELECT j,
+         ('0x' || substr(md5(concat(j, ':', term)), 1, 15))::BIGINT % 1024
+           AS b,
+         CAST(sum(c) AS BIGINT) AS cnt
+  FROM tf, unnest([0, 1, 2, 3]) AS r(j)
+  GROUP BY 1, 2
+),
+probes AS (SELECT term, c FROM tf ORDER BY c DESC, term LIMIT 10),
+cand AS (
+  SELECT p.term, p.c,
+         ('0x' || substr(md5(concat(j, ':', p.term)), 1, 15))::BIGINT % 1024
+           AS b,
+         j
+  FROM probes p, unnest([0, 1, 2, 3]) AS r(j)
+)
+SELECT cand.term, max(cand.c) AS n_exact, min(counters.cnt) AS cms_est,
+       min(counters.cnt) - max(cand.c) AS overcount
+FROM cand JOIN counters USING (j, b)
+GROUP BY 1
+"""
+
+
+def q_posting_lists(spark, sf_dir):
+    """Inverted-index build: per term, the document frequency and the first
+    16 doc_ids of its posting list (space-joined — catalog outputs are
+    scalar columns by convention). This is the index artifact the BM25
+    operator's tf frame persists at scale; the cap follows the engine's
+    capped-bucket discipline — the row_number cut happens BELOW the
+    collect, so a stop-word's corpus-wide posting rides the window
+    sorter's spill path and never materializes in an agg buffer (same
+    rationale as ``_capped_bucket_rows``).
+
+    Scale shape: ONE exchange total (plan-tested in
+    ``test_posting_lists_single_exchange``). A naive ``.distinct()`` before
+    the window costs a second hash exchange on (term, doc) — instead the
+    token instances shuffle once on term and the window pass does the
+    dedup itself: ``dense_rank`` collapses duplicate (term, doc) rows to
+    one posting rank, ``max(dense_rank)`` over the unbounded frame IS the
+    distinct-doc count (df), and a ``lag`` guard emits each doc once. All
+    three window functions share the one sort, and the final
+    groupBy(term) reuses the term hash distribution. Output is O(vocab),
+    bounded.
+    """
+    base = _t(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("term"),
+        F.col("doc_id"),
+    )
+    w = Window.partitionBy("term").orderBy("doc_id")
+    wf = Window.partitionBy("term").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        base.withColumn("rk", F.dense_rank().over(w))
+        .withColumn("df", F.max("rk").over(wf))
+        .withColumn("prev", F.lag("doc_id").over(w))
+        .filter(
+            (F.col("rk") <= 16)
+            & (F.col("prev").isNull() | (F.col("prev") != F.col("doc_id")))
+        )
+        .groupBy("term")
+        .agg(
+            F.max("df").alias("df"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                " ",
+            ).alias("posting_head"),
+        )
+    )
+
+
+SQL_POSTING_LISTS = """
+WITH base AS (
+  SELECT DISTINCT u.term, doc_id
+  FROM documents, unnest(string_split(text, ' ')) AS u(term)
+),
+ranked AS (
+  SELECT term, doc_id,
+         row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn,
+         count(*) OVER (PARTITION BY term) AS df
+  FROM base
+)
+SELECT term, CAST(max(df) AS BIGINT) AS df,
+       string_agg(CAST(doc_id AS VARCHAR), ' ' ORDER BY doc_id)
+         AS posting_head
+FROM ranked WHERE rn <= 16
+GROUP BY term
+"""
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -2759,6 +2926,8 @@ CATALOG: dict[str, tuple[Query, str | None]] = {
     "lm_quality_bigram": (q_lm_quality_bigram, SQL_LM_QUALITY),
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
     "hll_distinct_tokens": (q_hll_distinct_tokens, SQL_HLL_DISTINCT),
+    "cms_heavy_hitters": (q_cms_heavy_hitters, SQL_CMS_HEAVY_HITTERS),
+    "posting_lists": (q_posting_lists, SQL_POSTING_LISTS),
     "contamination_ngrams": (q_contamination_ngrams, SQL_CONTAMINATION),
     "domain_mix_weights": (q_domain_mix_weights, SQL_DOMAIN_MIX),
     "asof_join_events": (q_asof_join_events, SQL_ASOF_JOIN),

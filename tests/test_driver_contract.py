@@ -243,6 +243,21 @@ def test_hll_sketch_accuracy_at_scale(spark, tmp_path):
     assert row["err_permille"] <= 160, row
 
 
+def test_posting_lists_single_exchange(spark, sf_dir):
+    """The inverted-index build must shuffle ONCE: dedup, posting rank, df,
+    and the final per-term agg all ride the single term-hash exchange
+    (dense_rank dedup instead of a .distinct() that would add a second
+    (term, doc) exchange).
+    """
+    fn, _ = CATALOG["posting_lists"]
+    plan = (
+        fn(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert plan.count("Exchange") == 1, plan
+
+
 def test_ngram_pipeline_runs_once(spark, sf_dir):
     """The (doc, shingle) pipeline must be computed once: sizes and pairs
     both read the same shingle Exchange (ReusedExchange), and the
