@@ -2863,6 +2863,104 @@ GROUP BY term
 """
 
 
+def q_doc_length_quantiles(spark, sf_dir):
+    """Per-lang document-length quantiles two ways: exact discrete
+    p10/p50/p90 (the thresholds a length-filter stage derives), plus a
+    histogram-sketch p50 estimate — the HLL/CMS pattern again: the sketch
+    is the 100-TB path, the exact twin is the yardstick. Built-in
+    percentile()/quantile() differ between engines in interpolation and
+    tie handling, so both sides compute the SAME discrete definition:
+    the value at 1-indexed position (n-1)*q/100 + 1 of the (length,
+    doc_id)-ordered partition — all-integer position arithmetic, unique
+    order, no interpolation, bit-stable.
+
+    Scale shape: exact quantiles cost one lang-hash exchange; rank and
+    partition count share the window sort and the final groupBy(lang)
+    reuses the distribution. The histogram sketch reduces scan-side to
+    <= langs x 256 bucket rows (map-side combine) exactly like the HLL
+    registers — O(1) shuffle and mergeable by addition, which is why it
+    is the path that survives when a global per-lang sort does not.
+    """
+    docs = _t(spark, sf_dir, "documents").select("lang", "n_chars", "doc_id")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    wf = Window.partitionBy("lang").orderBy("n_chars", "doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = (
+        docs.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wf))
+    )
+    exact = ranked.groupBy("lang").agg(
+        F.max("n").alias("n_docs"),
+        *[
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr(f"((n - 1) * {q}) div 100 + 1"),
+                    F.col("n_chars"),
+                )
+            ).alias(f"p{q}_chars")
+            for q in (10, 50, 90)
+        ],
+    )
+    hist = (
+        docs.groupBy("lang", F.expr("least(n_chars div 16, 255)").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "cum",
+            F.sum("c").over(
+                Window.partitionBy("lang").orderBy("b")
+            ),
+        )
+        .withColumn(
+            "tot",
+            F.sum("c").over(
+                Window.partitionBy("lang").orderBy("b").rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
+        .filter(F.expr("cum * 2 >= tot"))
+        .groupBy("lang")
+        .agg((F.min("b") * 16).alias("p50_hist_floor"))
+    )
+    return exact.join(hist, "lang")
+
+
+SQL_DOC_LENGTH_QUANTILES = """
+WITH ranked AS (
+  SELECT lang, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+),
+exact AS (
+  SELECT lang, CAST(max(n) AS BIGINT) AS n_docs,
+         CAST(max(CASE WHEN rn = ((n - 1) * 10) // 100 + 1
+                       THEN n_chars END) AS BIGINT) AS p10_chars,
+         CAST(max(CASE WHEN rn = ((n - 1) * 50) // 100 + 1
+                       THEN n_chars END) AS BIGINT) AS p50_chars,
+         CAST(max(CASE WHEN rn = ((n - 1) * 90) // 100 + 1
+                       THEN n_chars END) AS BIGINT) AS p90_chars
+  FROM ranked GROUP BY lang
+),
+buckets AS (
+  SELECT lang, least(n_chars // 16, 255) AS b, count(*) AS c
+  FROM documents GROUP BY 1, 2
+),
+cum AS (
+  SELECT lang, b, sum(c) OVER (PARTITION BY lang ORDER BY b) AS cum,
+         sum(c) OVER (PARTITION BY lang) AS tot
+  FROM buckets
+),
+hist AS (
+  SELECT lang, CAST(min(b) * 16 AS BIGINT) AS p50_hist_floor
+  FROM cum WHERE cum * 2 >= tot GROUP BY lang
+)
+SELECT lang, n_docs, p10_chars, p50_chars, p90_chars, p50_hist_floor
+FROM exact JOIN hist USING (lang)
+"""
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -2928,6 +3026,7 @@ CATALOG: dict[str, tuple[Query, str | None]] = {
     "hll_distinct_tokens": (q_hll_distinct_tokens, SQL_HLL_DISTINCT),
     "cms_heavy_hitters": (q_cms_heavy_hitters, SQL_CMS_HEAVY_HITTERS),
     "posting_lists": (q_posting_lists, SQL_POSTING_LISTS),
+    "doc_length_quantiles": (q_doc_length_quantiles, SQL_DOC_LENGTH_QUANTILES),
     "contamination_ngrams": (q_contamination_ngrams, SQL_CONTAMINATION),
     "domain_mix_weights": (q_domain_mix_weights, SQL_DOMAIN_MIX),
     "asof_join_events": (q_asof_join_events, SQL_ASOF_JOIN),
