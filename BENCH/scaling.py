@@ -275,7 +275,22 @@ Generated by `python BENCH/scaling.py` on {datetime.date.today().isoformat()}.
 Cluster packaging: `scripts/spark_submit_demo.sh` runs the same job via
 `spark-submit --py-files dist/crawler_spark.zip`.
 """
-    (REPO / "BENCH" / "BASELINE.md").write_text(md)
+    # preserve hand-maintained sections (confirmation-attempt history,
+    # weak-scaling companion written by BENCH/input_scaling.py) across
+    # regenerations
+    baseline = REPO / "BENCH" / "BASELINE.md"
+    if baseline.exists():
+        old = baseline.read_text()
+        keep = ""
+        for heading in ("## Confirmation attempts", "## Companion axis"):
+            if heading in old:
+                start = old.index(heading)
+                end = old.index("## ", start + 3)
+                keep += old[start:end]
+        if keep:
+            md = md.replace("## Host-environment context",
+                            keep + "## Host-environment context", 1)
+    baseline.write_text(md)
     print(json.dumps(result))
 
 
