@@ -2961,6 +2961,186 @@ FROM exact JOIN hist USING (lang)
 """
 
 
+# ---- WARC record splitting (Common Crawl source format) -------------
+
+
+def q_warc_extract(spark, sf_dir):
+    """WARC/1.0 archive ingestion — split Common-Crawl-style archive blobs
+    into records and recover per-URL payload identity. The splitter is the
+    Arrow-batched ``mapInPandas`` kernel in ``sources/warc.py`` (framing by
+    ``Content-Length`` octets, magic-proof, torn-tail tolerant); this
+    catalog entry proves the round-trip: documents → WARC bytes → splitter
+    → (url, byte length, payload md5) matches what the oracle derives from
+    the table directly.
+
+    Fixture note: no archive files ship with the sandbox, so the WARC blobs
+    are ASSEMBLED in-plan — each ``doc_id % 8`` segment becomes one blob of
+    concatenated records in doc_id order (``sort_array(collect_list(
+    struct(...)))`` — bounded: 8 segments, test-scale only). At cluster
+    scale the input is one row per real WARC file via
+    ``spark.read.format("binaryFile")``, parallelism = #files, and the
+    kernel output inherits scan partitioning — zero shuffles end-to-end
+    (the one exchange here belongs to the fixture assembly, not the
+    operator)."""
+    from crawler_spark.sources.warc import parse_warc_records
+
+    docs = _t(spark, sf_dir, "documents")
+    rec = docs.select(
+        (F.col("doc_id") % 8).alias("seg"),
+        "doc_id",
+        F.concat(
+            F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "
+                  "https://crawl.example/doc/"),
+            F.col("doc_id").cast("string"),
+            F.lit("\r\nContent-Length: "),
+            F.octet_length("text").cast("string"),
+            F.lit("\r\n\r\n"),
+            F.col("text"),
+            F.lit("\r\n\r\n"),
+        ).alias("rec"),
+    )
+    blobs = (
+        rec.groupBy("seg")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "rec"))).alias("rs"))
+        .select(F.concat_ws("", F.col("rs.rec")).alias("blob"))
+    )
+    return parse_warc_records(blobs, "blob").select(
+        "url",
+        F.col("n_bytes"),
+        "payload_md5",
+    )
+
+
+SQL_WARC_EXTRACT = """
+SELECT 'https://crawl.example/doc/' || CAST(doc_id AS VARCHAR) AS url,
+       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+       md5(text) AS payload_md5
+FROM documents
+"""
+
+
+# ---- hashed-feature quality classifier (fastText/DCLM-style) --------
+
+#: feature-hash buckets — the hashing trick bounds the model at 2^12 rows
+#: no matter how large the corpus vocabulary grows
+_QC_BUCKETS = 4096
+
+
+def q_quality_classifier(spark, sf_dir):
+    """DCLM/fastText-style linear quality classifier with the hashing
+    trick: train per-feature log-odds weights on a labeled split of the
+    corpus (positive class = ``lang = 'en'``, the CCNet target-language
+    setup), then score every document by its mean feature weight. This is
+    the discriminative twin of ``lm_quality_bigram`` (generative
+    perplexity): the classic "does this look like target-distribution
+    text" filter a training build runs corpus-wide.
+
+    Why hashed features: at 10^10 docs the vocabulary is unbounded, but
+    ``md5(token) % 4096`` bounds the MODEL at 4096 rows regardless — the
+    weight table always broadcasts, training is one 4096-key hash-agg, and
+    no token-frequency skew can concentrate model state on one task.
+
+    Cross-engine determinism: the only float ops are two ln() calls per
+    bucket (4096 of each), each quantized to integer milli-nats BEFORE the
+    per-doc sum (the ``pagerank_hosts`` fixed-point discipline — integer
+    sums are associative, partition order cannot flip a bit). The feature
+    hash is the cross-engine idiom ``conv(substr(md5(t),1,15),16,10)``.
+
+    Scale shape: the tokenize/explode pass runs ONCE (``localCheckpoint``
+    materialization, same idiom as ``lm_quality_bigram``); training reads
+    it (one 4096-bucket exchange + a 2-row label total derived from the
+    model table, not a second corpus scan), scoring reads it again with
+    the model BROADCAST in, and the per-doc mean is one partial-agg
+    exchange. On a real cluster training would read a labeled *sample*
+    and only scoring sweeps the corpus — same plan, smaller left leg."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("lang") == "en").cast("int").alias("y"), "text"
+    )
+    tok = (
+        docs.select(
+            "doc_id",
+            "y",
+            F.explode(F.split("text", " ")).alias("t"),
+        )
+        .select(
+            "doc_id",
+            "y",
+            (F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long")
+             % _QC_BUCKETS).alias("h"),
+        )
+        .localCheckpoint()
+    )
+    model = tok.groupBy("h").agg(
+        F.sum("y").alias("cpos"),
+        F.sum(1 - F.col("y")).alias("cneg"),
+    )
+    totals = model.agg(
+        F.sum("cpos").alias("tpos"), F.sum("cneg").alias("tneg")
+    )
+    weights = model.crossJoin(F.broadcast(totals)).select(
+        "h",
+        (
+            F.floor(F.lit(1000.0) * F.log(
+                (F.col("cpos") + 1) / (F.col("tpos") + F.lit(_QC_BUCKETS))
+            ) + F.lit(0.5)).cast("long")
+            - F.floor(F.lit(1000.0) * F.log(
+                (F.col("cneg") + 1) / (F.col("tneg") + F.lit(_QC_BUCKETS))
+            ) + F.lit(0.5)).cast("long")
+        ).alias("w"),
+    )
+    return (
+        tok.join(F.broadcast(weights), "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.floor(
+                F.lit(1.0) * F.sum("w") / F.count(F.lit(1)) + F.lit(0.5)
+            ).cast("long").alias("score_mnats"),
+        )
+        .select(
+            "doc_id",
+            "n_feats",
+            "score_mnats",
+            (F.col("score_mnats") > 0).alias("keep"),
+        )
+    )
+
+
+SQL_QUALITY_CLASSIFIER = f"""
+WITH tok AS (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % {_QC_BUCKETS} AS h
+  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
+        FROM documents)
+),
+model AS (
+  SELECT h, CAST(sum(y) AS BIGINT) AS cpos,
+         CAST(sum(1 - y) AS BIGINT) AS cneg
+  FROM tok GROUP BY h
+),
+totals AS (
+  SELECT CAST(sum(cpos) AS BIGINT) AS tpos,
+         CAST(sum(cneg) AS BIGINT) AS tneg
+  FROM model
+),
+weights AS (
+  SELECT h,
+         CAST(FLOOR(1000.0 * ln((cpos + 1) / (tpos + {_QC_BUCKETS})) + 0.5)
+              AS BIGINT)
+         - CAST(FLOOR(1000.0 * ln((cneg + 1) / (tneg + {_QC_BUCKETS})) + 0.5)
+                AS BIGINT) AS w
+  FROM model CROSS JOIN totals
+),
+scored AS (
+  SELECT doc_id, count(*) AS n_feats,
+         CAST(FLOOR(1.0 * sum(w) / count(*) + 0.5) AS BIGINT) AS score_mnats
+  FROM tok JOIN weights USING (h)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_feats, score_mnats, score_mnats > 0 AS keep FROM scored
+"""
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -3038,6 +3218,8 @@ CATALOG: dict[str, tuple[Query, str | None]] = {
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "range_join_events": (q_range_join_events, SQL_RANGE_JOIN),
     "hypertable_rollup": (q_hypertable_rollup, SQL_HYPERTABLE_ROLLUP),
+    "warc_extract": (q_warc_extract, SQL_WARC_EXTRACT),
+    "quality_classifier": (q_quality_classifier, SQL_QUALITY_CLASSIFIER),
 }
 
 

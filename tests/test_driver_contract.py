@@ -218,6 +218,24 @@ def test_bm25_single_tokenize_pass(spark, sf_dir):
         f"tokenize pipeline recomputed per consumer:\n{plan}")
 
 
+def test_quality_classifier_single_tokenize_pass_and_broadcast(spark, sf_dir):
+    """The hashed-feature classifier must (a) tokenize the corpus ONCE —
+    the hashed token frame is materialized and both training and scoring
+    read it (zero residual parquet scans) — and (b) BROADCAST the
+    4096-row model into the scoring join; a hash-exchange of the token
+    stream on `h` would shuffle the whole corpus to apply a model that
+    fits in one broadcast block."""
+    fn, _ = CATALOG["quality_classifier"]
+    plan = (
+        fn(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert plan.count("Scan parquet") == 0, (
+        f"tokenize pipeline recomputed per consumer:\n{plan}")
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_hll_sketch_accuracy_at_scale(spark, tmp_path):
     """The catalog corpus has ~31 distinct tokens per lang (linear-counting
     regime); this drives the same query on a planted 2000-distinct-token
