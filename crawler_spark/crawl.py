@@ -54,6 +54,7 @@ from crawler_spark.functions.sitemap import (
     robots_crawl_delay_udf,
     robots_schema_maps_udf,
 )
+from crawler_spark.operators import cuckoo as cuckoo_ops
 from crawler_spark.operators import frontier as fr
 from crawler_spark.operators import politeness, seen
 from crawler_spark.schema import FRONTIER, URL_SEEN
@@ -67,6 +68,13 @@ class CrawlConfig:
     salt_buckets: int = 16
     epoch_window_s: float = 60.0
     use_bloom: bool = True
+    #: seen-set pre-filter kind when ``use_bloom`` is on: "bloom" (append-
+    #: only blobs, stale bits after deletions cost only false positives) or
+    #: "cuckoo" (operators/cuckoo.py — O(1) deletion keeps churned buckets'
+    #: false-positive rate flat; the north rule's "Bloom/cuckoo" pair).
+    #: Either way the exact anti-join backstops the filter: the final seen
+    #: set is identical across all three settings.
+    seen_filter: str = "bloom"
     embed_documents: bool = True
     max_epochs: int = 50
     #: per-epoch counters in EpochReport cost extra Spark jobs; bench turns
@@ -128,6 +136,13 @@ class CrawlEngine:
                 f"says {self.cfg.num_partitions} — refusing to misroute buckets")
         if pinned is None and store.exists("frontier"):
             store.set_meta(num_partitions=self.cfg.num_partitions)
+
+    def _filter_table(self) -> str | None:
+        """Store table holding the seen-set pre-filter blobs, or None when
+        the pre-filter is disabled (plain exact anti-join)."""
+        if not self.cfg.use_bloom:
+            return None
+        return {"bloom": "blooms", "cuckoo": "cuckoos"}[self.cfg.seen_filter]
 
     # ------------------------------------------------------------------
     # bootstrap / state access
@@ -504,6 +519,16 @@ class CrawlEngine:
             "frontier": self._write_frontier(frontier_keep, touched),
             "seeds": self.store.write(seeds_after, "seeds"),
         }
+        # cuckoo filter blobs track deletions (their raison d'être); Bloom
+        # blobs deliberately keep stale bits — false positives only, the
+        # exact anti-join absorbs them (operators/seen.py docstring)
+        if self._filter_table() == "cuckoos" and self.store.exists("cuckoos"):
+            blobs = self.store.read_buckets(self.spark, "cuckoos", only=touched)
+            doomed_keys = doomed.select("file_url", "user_id", "id", "host_hash")
+            versions["cuckoos"] = self.store.replace_buckets(
+                cuckoo_ops.updated_cuckoos(
+                    blobs, doomed_keys.limit(0), removed=doomed_keys),
+                "cuckoos", touched)
         if self.store.exists("documents"):
             docs_after = self.store.read_buckets(
                 self.spark, "documents", only=touched_docs
@@ -673,14 +698,20 @@ class CrawlEngine:
             )
             existing = seen_touched.join(
                 processed_keys, ["file_url", "user_id"], "left_semi")
-            # persisted per-bucket Blooms (updated_blooms): read the touched
-            # buckets' blobs; no blobs yet → build from seen_touched
-            persisted_blooms = (
-                self.store.read_buckets(self.spark, "blooms", only=touched)
-                if cfg.use_bloom and self.store.exists("blooms") else None
+            # persisted per-bucket filter blobs (Bloom or cuckoo): read the
+            # touched buckets' blobs; no blobs yet → build from seen_touched
+            ftable = self._filter_table()
+            persisted_filters = (
+                self.store.read_buckets(self.spark, ftable, only=touched)
+                if ftable and self.store.exists(ftable) else None
             )
-            added_df = seen.anti_join_new_ids(
-                ext_ids, existing, use_bloom=cfg.use_bloom, blooms=persisted_blooms)
+            if ftable == "cuckoos":
+                added_df = cuckoo_ops.anti_join_new_ids_cuckoo(
+                    ext_ids, existing, cuckoos=persisted_filters)
+            else:
+                added_df = seen.anti_join_new_ids(
+                    ext_ids, existing, use_bloom=cfg.use_bloom,
+                    blooms=persisted_filters)
             removed_df = existing.select(
                 "file_url", "user_id", "id", "host_hash").join(
                 ext_ids, ["file_url", "user_id", "id"], "left_anti"
@@ -699,7 +730,8 @@ class CrawlEngine:
             rows_removed = self.store.scratch_rows("removed_epoch")
         else:
             seen_touched = self.spark.createDataFrame([], URL_SEEN)
-            persisted_blooms = None
+            ftable = self._filter_table()
+            persisted_filters = None
             added = self.store.materialize(self.spark, ext_ids, "added_epoch")
             removed = seen_touched.select("file_url", "user_id", "id", "host_hash")
             rows_added = self.store.scratch_rows("added_epoch")
@@ -917,22 +949,36 @@ class CrawlEngine:
         # that still ends up blob-less — e.g. rows landed under
         # use_bloom=False — is handled at probe time: no blob ⇒ maybe_seen,
         # exact anti-join, see operators/seen.py.)
-        new_blooms = None
-        if cfg.use_bloom and not diffs_empty:
+        new_filters = None
+        if ftable and not diffs_empty:
             legacy_seed = (
-                persisted_blooms is None
+                persisted_filters is None
                 and bool(self.store.bucket_versions("url_seen"))
                 and self.store.read_manifest()["epoch"] >= 0
             )
-            if legacy_seed:
-                new_blooms = seen.build_host_blooms(seen_content)
+            added_sel = added.select("file_url", "user_id", "id", "host_hash")
+            if ftable == "cuckoos":
+                # cuckoo maintenance folds BOTH sides of the diff — removed
+                # ids actually clear filter state (the Bloom can only grow)
+                if legacy_seed:
+                    new_filters = cuckoo_ops.build_host_cuckoos(seen_content)
+                else:
+                    filters_in = (
+                        persisted_filters if persisted_filters is not None
+                        else self.spark.createDataFrame([], cuckoo_ops.CUCKOO_SCHEMA)
+                    )
+                    new_filters = cuckoo_ops.updated_cuckoos(
+                        filters_in, added_sel,
+                        removed=removed.select(
+                            "file_url", "user_id", "id", "host_hash"))
+            elif legacy_seed:
+                new_filters = seen.build_host_blooms(seen_content)
             else:
                 blooms_in = (
-                    persisted_blooms if persisted_blooms is not None
+                    persisted_filters if persisted_filters is not None
                     else self.spark.createDataFrame([], seen.BLOOM_SCHEMA)
                 )
-                new_blooms = seen.updated_blooms(
-                    blooms_in, added.select("file_url", "user_id", "id", "host_hash"))
+                new_filters = seen.updated_blooms(blooms_in, added_sel)
 
         def write_errors():
             # errors table is tiny (only failing files) — O(#errors) rewrite;
@@ -967,9 +1013,9 @@ class CrawlEngine:
             if not diffs_empty:
                 futures["url_seen"] = pool.submit(
                     self.store.replace_buckets, seen_content, "url_seen", diff_hosts)
-                if new_blooms is not None:
-                    futures["blooms"] = pool.submit(
-                        self.store.replace_buckets, new_blooms, "blooms", diff_hosts)
+                if new_filters is not None:
+                    futures[ftable] = pool.submit(
+                        self.store.replace_buckets, new_filters, ftable, diff_hosts)
             futures["frontier"] = pool.submit(self._write_frontier, frontier_after, touched)
             # per-epoch lineage is append-only: O(1) write, unioned at read time
             f_metrics = pool.submit(self.store.append, metrics, "metrics", f"{epoch:06d}")
