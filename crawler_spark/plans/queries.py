@@ -3141,6 +3141,205 @@ SELECT doc_id, n_feats, score_mnats, score_mnats > 0 AS keep FROM scored
 """
 
 
+# ---- re-crawl change-rate estimation (Poisson) -----------------------
+
+
+def q_recrawl_poisson(spark, sf_dir):
+    """Re-crawl scheduling: per-page Poisson change-rate estimation
+    (Cho & Garcia-Molina, "Estimating Frequency of Change", ACM TOIT
+    2003) — the scheduler the reference's fixed re-crawl interval
+    (core/db.py `crawl_delay`-style due dates) graduates into at web
+    scale: pages that change often get short revisit intervals, static
+    pages long ones. Each user_id's event stream stands in for repeated
+    observations of one page; the observed content fingerprint is the
+    event_type and a change is a fingerprint differing from the previous
+    observation.
+
+    The bias-corrected estimator lambda = -ln((n - X + 0.5)/(n + 0.5))
+    (expected changes per observation interval; n = intervals, X =
+    detected changes) is computed POST-aggregation from two integers —
+    the single ln per output row is the only float op, quantized to
+    milli-nats with the floor(x + 0.5) idiom before leaving the row
+    (pagerank fixed-point discipline: no float ever enters an
+    order-sensitive aggregation). The naive revisit interval
+    span_s div max(X, 1) stays pure integer.
+
+    Plan: ONE user_id exchange — the change-flag lag window and the
+    per-page aggregate share the same partitioning (the
+    sessionize_events shape), then scalar per-row arithmetic."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    obs = ev.withColumn("prev_type", F.lag("event_type").over(w))
+    per = obs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum(
+            F.when(
+                F.col("prev_type").isNotNull()
+                & (F.col("prev_type") != F.col("event_type")),
+                1,
+            ).otherwise(0)
+        ).alias("n_changes"),
+        F.expr("timestampdiff(SECOND, min(ts), max(ts))").alias("span_s"),
+    )
+    return per.filter(F.col("n_obs") > 1).select(
+        F.col("user_id").alias("page_id"),
+        "n_obs",
+        "n_changes",
+        "span_s",
+        F.expr("(1000 * n_changes) div (n_obs - 1)").alias("change_ratio_milli"),
+        F.expr(
+            "cast(floor(-1000.0 * ln((n_obs - 1 - n_changes + 0.5)"
+            " / (n_obs - 1 + 0.5)) + 0.5) as bigint)"
+        ).alias("lambda_milli"),
+        F.expr("span_s div greatest(n_changes, 1L)").alias("revisit_s"),
+    )
+
+
+SQL_RECRAWL_POISSON = """
+WITH o AS (
+  SELECT user_id, event_id, ts, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+),
+p AS (
+  SELECT user_id AS page_id,
+         count(*) AS n_obs,
+         CAST(sum(CASE WHEN prev_type IS NOT NULL
+                            AND prev_type <> event_type
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+         (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS span_s
+  FROM o GROUP BY user_id
+)
+SELECT page_id, n_obs, n_changes, span_s,
+       (1000 * n_changes) // (n_obs - 1) AS change_ratio_milli,
+       CAST(FLOOR(-1000.0 * ln((n_obs - 1 - n_changes + 0.5)
+                               / (n_obs - 1 + 0.5)) + 0.5)
+            AS BIGINT) AS lambda_milli,
+       span_s // greatest(n_changes, 1) AS revisit_s
+FROM p WHERE n_obs > 1
+"""
+
+
+# ---- HITS hubs & authorities (link-graph frontier signal) ------------
+
+_HITS_ITERS = 3
+_HITS_UNIT = 10**9  # fixed-point unit: scores are integers in 1e-9 units
+
+
+def _hits_edges(spark, sf_dir):
+    """The same deterministic sparsified host link graph as
+    q_pagerank_hosts (edge (l_orderkey % H) -> (l_partkey % H), ~3/7 of
+    cells kept with per-host-varying degree)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            (F.col("l_orderkey") % _PR_HOSTS).alias("src"),
+            (F.col("l_partkey") % _PR_HOSTS).alias("dst"),
+        )
+        .filter((F.col("src") * 31 + F.col("dst") * 17) % 7 < 3)
+        .distinct()
+    )
+
+
+def q_hits_hosts(spark, sf_dir):
+    """HITS hub/authority scores (Kleinberg, JACM 1999) over the host
+    link graph — the other classic frontier-prioritization signal next
+    to pagerank_hosts: authorities (hosts good hubs point at) seed the
+    crawl, hubs (hosts pointing at good authorities) widen it.
+
+    Fixed-point integer throughout (the pagerank_hosts discipline):
+    scores live in 1e-9 units and each half-iteration renormalizes by
+    integer division with the global sum's UNIT quotient — bit-identical
+    at any parallelism or summation order, which float HITS cannot give a
+    value-hash gate. Overflow-safe by construction: normalized mass stays
+    <= 2*UNIT, so raw sums stay <= max_degree * 2*UNIT ~ 1e11 and no
+    x * UNIT product ever forms.
+
+    Plan per half-iteration: the O(#hosts) score table BROADCASTS into
+    the edge join (edges never move — at web scale edges are the corpus,
+    hosts are millions of rows), one groupBy exchange bounded by #hosts
+    after map-side partial sums. The normalizer is a driver-side exact
+    integer scalar (one O(#hosts) sum per half-step — partition-order
+    independent, so embedding it as a literal keeps determinism); the
+    edge fixture is pinned once (``localCheckpoint``; scratch parquet on
+    a cluster) so the 6 half-step actions never re-derive it, the same
+    lineage-flattening the components operator uses."""
+    edges = _hits_edges(spark, sf_dir).localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("src").alias("host_id"))
+        .unionByName(edges.select(F.col("dst").alias("host_id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def half(scores, score_on, group_on):
+        raw = (
+            edges.join(
+                F.broadcast(scores.withColumnRenamed("host_id", score_on)),
+                score_on,
+            )
+            .groupBy(group_on)
+            .agg(F.sum("s").alias("raw"))
+            .withColumnRenamed(group_on, "host_id")
+        )
+        total = raw.agg(F.sum("raw")).first()[0] or 0
+        q = max(total // _HITS_UNIT, 1)
+        return nodes.join(F.broadcast(raw), "host_id", "left").select(
+            "host_id", F.expr(f"coalesce(raw, 0L) div {q}L").alias("s")
+        )
+
+    auth = nodes.select("host_id", F.lit(_HITS_UNIT).alias("s"))
+    hub = auth
+    for _ in range(_HITS_ITERS):
+        hub = half(auth, "dst", "src")    # h(src) = sum a(dst) over out-edges
+        auth = half(hub, "src", "dst")    # a(dst) = sum h(src) over in-edges
+    return (
+        hub.withColumnRenamed("s", "hub_e9")
+        .join(auth.withColumnRenamed("s", "auth_e9"), "host_id")
+        .select("host_id", "hub_e9", "auth_e9")
+    )
+
+
+def _hits_half_sql(scores: str, raw: str, out: str, score_on: str, group_on: str) -> str:
+    return f"""
+{raw} AS (
+  SELECT e.{group_on} AS host_id, CAST(sum(p.s) AS BIGINT) AS raw
+  FROM edges e JOIN {scores} p ON p.host_id = e.{score_on}
+  GROUP BY e.{group_on}
+),
+{out} AS (
+  SELECT n.host_id,
+         CAST(COALESCE(r.raw, 0)
+              // greatest((SELECT CAST(sum(raw) AS BIGINT) FROM {raw})
+                          // {_HITS_UNIT}, 1) AS BIGINT) AS s
+  FROM nodes n LEFT JOIN {raw} r USING (host_id)
+)"""
+
+
+SQL_HITS_HOSTS = f"""
+WITH edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT l_orderkey % {_PR_HOSTS} AS src, l_partkey % {_PR_HOSTS} AS dst
+    FROM lineitem
+  ) WHERE (src * 31 + dst * 17) % 7 < 3
+),
+nodes AS (
+  SELECT DISTINCT src AS host_id FROM edges
+  UNION SELECT DISTINCT dst FROM edges
+),
+a0 AS (SELECT host_id, {_HITS_UNIT} AS s FROM nodes),
+{",".join(
+    _hits_half_sql(f"a{i}", f"h{i + 1}r", f"h{i + 1}", "dst", "src")
+    + ","
+    + _hits_half_sql(f"h{i + 1}", f"a{i + 1}r", f"a{i + 1}", "src", "dst")
+    for i in range(_HITS_ITERS)
+)}
+SELECT h.host_id, CAST(h.s AS BIGINT) AS hub_e9, CAST(a.s AS BIGINT) AS auth_e9
+FROM h{_HITS_ITERS} h JOIN a{_HITS_ITERS} a USING (host_id)
+"""
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -3220,6 +3419,8 @@ CATALOG: dict[str, tuple[Query, str | None]] = {
     "hypertable_rollup": (q_hypertable_rollup, SQL_HYPERTABLE_ROLLUP),
     "warc_extract": (q_warc_extract, SQL_WARC_EXTRACT),
     "quality_classifier": (q_quality_classifier, SQL_QUALITY_CLASSIFIER),
+    "recrawl_poisson": (q_recrawl_poisson, SQL_RECRAWL_POISSON),
+    "hits_hosts": (q_hits_hosts, SQL_HITS_HOSTS),
 }
 
 

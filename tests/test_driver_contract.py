@@ -448,6 +448,57 @@ def test_pagerank_fixed_point_properties(spark, sf_dir):
         f"rank/contrib tables not broadcast into the per-iteration joins:\n{plan}")
 
 
+def test_recrawl_poisson_single_exchange_and_semantics(spark, sf_dir):
+    """The change-rate estimator must stay ONE user_id exchange (the lag
+    window and the per-page aggregate share the partitioning) with no
+    join, and its integer invariants must hold: X <= n intervals,
+    change_ratio_milli <= 1000, lambda equal to the Cho & Garcia-Molina
+    bias-corrected estimator recomputed from (n, X) alone."""
+    import math
+    fn, _ = CATALOG["recrawl_poisson"]
+    df = fn(spark, sf_dir)
+    plan = (df._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0])
+    assert "Join" not in plan, f"recrawl_poisson grew a join:\n{plan}"
+    assert plan.count("Exchange") == 1, plan
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_changes"] <= r["n_obs"] - 1
+        assert 0 <= r["change_ratio_milli"] <= 1000
+        assert r["revisit_s"] >= 0
+        n, x = r["n_obs"] - 1, r["n_changes"]
+        want = math.floor(-1000.0 * math.log((n - x + 0.5) / (n + 0.5)) + 0.5)
+        assert r["lambda_milli"] == want, (r["page_id"], r["lambda_milli"], want)
+
+
+def test_hits_fixed_point_properties(spark, sf_dir):
+    """HITS must be non-trivial (non-uniform hub AND authority scores on
+    the sparsified graph), bounded by the fixed-point design (normalized
+    mass <= 2*UNIT — the overflow-safety argument in the docstring), and
+    its final plan must stay flat: the per-half-step lineage is pinned
+    (checkpointed edges + broadcast score tables), so no parquet rescans,
+    no cartesian/nested-loop joins, and a bounded join count."""
+    from crawler_spark.plans.queries import _HITS_UNIT, _PR_HOSTS
+
+    fn, _ = CATALOG["hits_hosts"]
+    df = fn(spark, sf_dir)
+    rows = {r["host_id"]: (r["hub_e9"], r["auth_e9"]) for r in df.collect()}
+    assert len(rows) == _PR_HOSTS
+    assert len({h for h, _ in rows.values()}) > 1, "uniform hub scores"
+    assert len({a for _, a in rows.values()}) > 1, "uniform authority scores"
+    for side in (0, 1):
+        total = sum(v[side] for v in rows.values())
+        assert 0 < total <= 2 * _HITS_UNIT, (side, total)
+    plan = (df._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0])
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Scan parquet") == 0, (
+        f"edge fixture re-derived per half-step:\n{plan}")
+    assert plan.count("BroadcastHashJoin") <= 20, (
+        f"half-step lineage exploded:\n{plan}")
+
+
 def test_dedup_spans_semantics_and_shape(spark, sf_dir):
     """ExactSubstr-style span dedup: originals of partially-copied docs must
     score exactly 1000pm (every window re-appears in the copy), copies
