@@ -3340,6 +3340,213 @@ FROM h{_HITS_ITERS} h JOIN a{_HITS_ITERS} a USING (host_id)
 """
 
 
+# ---- crawler-trap URL detection ---------------------------------------
+
+#: non-overlapping year-segment matches ('/2024/'-style); RE2-compatible.
+_CAL_RE = "/20[0-9]{2}/"
+
+
+def q_trap_detection(spark, sf_dir):
+    """Crawler-trap URL heuristics — the frontier-side guard every
+    production crawler runs before enqueueing (infinite calendars,
+    session-id query strings, self-linking directory loops generate
+    unbounded URL spaces under a single host; politeness alone doesn't
+    save the frontier from them). URLs are synthesized deterministically
+    from the corpus and traps PLANTED (doc_id % 11: repeated path
+    segment, % 13: calendar chain, % 17: 120-char session query), then
+    the detector PARSES the assembled string back — the flags are
+    computed from the url column alone, exactly as a frontier filter
+    would receive it.
+
+    Flags: path depth > 8, any duplicated path segment (distinct-count
+    diff over the segment array — pure HOFs), >= 2 calendar-year
+    segments (regexp_extract_all, RE2-safe pattern), query string longer
+    than 100 chars. Plan: ZERO exchanges — scan-side string/array
+    kernels only, the shape a frontier admission filter must have (it
+    runs on every discovered URL at the full crawl rate)."""
+    docs = _t(spark, sf_dir, "documents")
+    url = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://site"), (F.col("doc_id") % 20).cast("string"),
+            F.lit(".example.com/"),
+            F.concat_ws("/", F.slice(F.split("text", " "), 1, 3)),
+            F.when(F.col("doc_id") % 11 == 0,
+                   F.lit("/page/page/page/page/page/page")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 13 == 0,
+                   F.lit("/2024/01/05/2024/02/06/2024/03/07")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 17 == 0,
+                   F.concat(F.lit("?session="), F.repeat(F.lit("x"), 120)),
+                   ).otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    parsed = url.select(
+        "doc_id",
+        "url",
+        F.expr("substring(url, 9)").alias("rest"),  # strip 'https://'
+    ).select(
+        "doc_id",
+        "url",
+        F.expr("substring(rest, instr(rest, '/'))").alias("pathq"),
+    ).select(
+        "doc_id",
+        "url",
+        F.expr(
+            "if(instr(pathq, '?') > 0,"
+            " substring(pathq, 1, instr(pathq, '?') - 1), pathq)"
+        ).alias("path"),
+        F.expr(
+            "if(instr(pathq, '?') > 0,"
+            " substring(pathq, instr(pathq, '?') + 1), '')"
+        ).alias("query"),
+    )
+    segs = F.expr("filter(split(path, '/'), x -> x != '')")
+    return parsed.select(
+        "doc_id",
+        F.size(segs).alias("depth"),
+        (F.size(segs) - F.size(F.array_distinct(segs)) > 0).alias("f_dup_segment"),
+        F.size(F.regexp_extract_all("path", F.lit(_CAL_RE), F.lit(0))).alias("n_calendar"),
+        F.length("query").alias("query_len"),
+        (
+            (F.size(segs) > 8)
+            | (F.size(segs) - F.size(F.array_distinct(segs)) > 0)
+            | (F.size(F.regexp_extract_all("path", F.lit(_CAL_RE), F.lit(0))) >= 2)
+            | (F.length("query") > 100)
+        ).alias("is_trap"),
+    )
+
+
+SQL_TRAP_DETECTION = f"""
+WITH u AS (
+  SELECT doc_id,
+         'https://site' || CAST(doc_id % 20 AS VARCHAR) || '.example.com/'
+         || array_to_string(text_tokens[1:3], '/')
+         || CASE WHEN doc_id % 11 = 0
+                 THEN '/page/page/page/page/page/page' ELSE '' END
+         || CASE WHEN doc_id % 13 = 0
+                 THEN '/2024/01/05/2024/02/06/2024/03/07' ELSE '' END
+         || CASE WHEN doc_id % 17 = 0
+                 THEN '?session=' || repeat('x', 120) ELSE '' END AS url
+  FROM (SELECT doc_id, string_split(text, ' ') AS text_tokens FROM documents)
+),
+p0 AS (SELECT doc_id, url, substr(url, 9) AS rest FROM u),
+p1 AS (SELECT doc_id, url, substr(rest, strpos(rest, '/')) AS pathq FROM p0),
+p AS (
+  SELECT doc_id, url,
+         CASE WHEN strpos(pathq, '?') > 0
+              THEN substr(pathq, 1, strpos(pathq, '?') - 1) ELSE pathq END AS path,
+         CASE WHEN strpos(pathq, '?') > 0
+              THEN substr(pathq, strpos(pathq, '?') + 1) ELSE '' END AS query
+  FROM p1
+),
+f AS (
+  SELECT doc_id,
+         list_filter(string_split(path, '/'), x -> x <> '') AS segs,
+         len(regexp_extract_all(path, '{_CAL_RE}')) AS n_calendar,
+         length(query) AS query_len
+  FROM p
+)
+SELECT doc_id,
+       CAST(len(segs) AS INT) AS depth,
+       len(segs) - len(list_distinct(segs)) > 0 AS f_dup_segment,
+       CAST(n_calendar AS INT) AS n_calendar,
+       CAST(query_len AS INT) AS query_len,
+       (len(segs) > 8 OR len(segs) - len(list_distinct(segs)) > 0
+        OR n_calendar >= 2 OR query_len > 100) AS is_trap
+FROM f
+"""
+
+
+# ---- triangle counting on the host graph ------------------------------
+
+
+def q_host_triangles(spark, sf_dir):
+    """Per-host triangle participation over the (undirected) host link
+    graph — the classic link-farm / spam-cluster signal (tightly
+    interlinked host cliques have anomalously high triangle density;
+    TrustRank-era literature uses it to damp pagerank_hosts' scores).
+
+    Algorithm: degree-ordered edge orientation (Cohen's MapReduce
+    triangle counting): orient every undirected edge from the
+    lower-(degree, id) endpoint to the higher, so each triangle is
+    counted exactly once as a path a->b->c plus the closing edge (a,c),
+    and — the scale property — the join fan-out per vertex is bounded by
+    its ORIENTED out-degree, O(sqrt(|E|)) on any graph (arboricity
+    bound), instead of the unbounded raw degree of hub hosts. All three
+    joins are equi-joins on host keys; per-host counts come from
+    exploding each triangle's three corners. Integer-only output."""
+    base = _hits_edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
+    und = (
+        base.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .unionByName(base.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .distinct()
+    )
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    ori = (
+        und.join(F.broadcast(deg), "a")
+        .join(
+            F.broadcast(deg.select(F.col("a").alias("b"), F.col("d").alias("db"))),
+            "b",
+        )
+        .filter((F.col("d") < F.col("db"))
+                | ((F.col("d") == F.col("db")) & (F.col("a") < F.col("b"))))
+        .select("a", "b")
+    )
+    wedges = ori.join(
+        ori.select(F.col("a").alias("b"), F.col("b").alias("c")), "b"
+    )
+    tri = wedges.join(
+        ori.select(F.col("a").alias("a"), F.col("b").alias("c")), ["a", "c"]
+    )
+    corners = (
+        tri.select(F.col("a").alias("host_id"))
+        .unionByName(tri.select(F.col("b").alias("host_id")))
+        .unionByName(tri.select(F.col("c").alias("host_id")))
+    )
+    nodes = und.select(F.col("a").alias("host_id")).distinct()
+    counts = corners.groupBy("host_id").agg(F.count(F.lit(1)).alias("n"))
+    return nodes.join(F.broadcast(counts), "host_id", "left").select(
+        "host_id", F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("n_triangles")
+    )
+
+
+SQL_HOST_TRIANGLES = f"""
+WITH base AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT l_orderkey % {_PR_HOSTS} AS src, l_partkey % {_PR_HOSTS} AS dst
+    FROM lineitem
+  ) WHERE (src * 31 + dst * 17) % 7 < 3 AND src <> dst
+),
+und AS (
+  SELECT src AS a, dst AS b FROM base
+  UNION
+  SELECT dst AS a, src AS b FROM base
+),
+deg AS (SELECT a AS v, count(*) AS d FROM und GROUP BY a),
+ori AS (
+  SELECT u.a, u.b FROM und u
+  JOIN deg da ON da.v = u.a
+  JOIN deg db ON db.v = u.b
+  WHERE da.d < db.d OR (da.d = db.d AND u.a < u.b)
+),
+tri AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM ori e1
+  JOIN ori e2 ON e2.a = e1.b
+  JOIN ori e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+corners AS (
+  SELECT a AS host_id FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT n.host_id, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_triangles
+FROM (SELECT DISTINCT a AS host_id FROM und) n
+LEFT JOIN (SELECT host_id, count(*) AS n FROM corners GROUP BY host_id) c
+  USING (host_id)
+"""
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -3421,6 +3628,8 @@ CATALOG: dict[str, tuple[Query, str | None]] = {
     "quality_classifier": (q_quality_classifier, SQL_QUALITY_CLASSIFIER),
     "recrawl_poisson": (q_recrawl_poisson, SQL_RECRAWL_POISSON),
     "hits_hosts": (q_hits_hosts, SQL_HITS_HOSTS),
+    "trap_detection": (q_trap_detection, SQL_TRAP_DETECTION),
+    "host_triangles": (q_host_triangles, SQL_HOST_TRIANGLES),
 }
 
 

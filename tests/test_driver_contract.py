@@ -499,6 +499,64 @@ def test_hits_fixed_point_properties(spark, sf_dir):
         f"half-step lineage exploded:\n{plan}")
 
 
+def test_trap_detection_scan_side_and_planted(spark, sf_dir):
+    """The frontier trap filter must be shuffle-free (it runs on every
+    discovered URL at full crawl rate) and each planted trap family must
+    trip its specific flag; unplanted docs may only trap via an organic
+    duplicate token segment (the corpus text occasionally repeats a word
+    in the first three tokens — a genuinely trap-shaped URL)."""
+    fn, _ = CATALOG["trap_detection"]
+    df = fn(spark, sf_dir)
+    plan = (df._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0])
+    assert "Exchange" not in plan, f"trap_detection shuffles:\n{plan}"
+    assert "Join" not in plan, f"trap_detection grew a join:\n{plan}"
+    for r in df.collect():
+        d = r["doc_id"]
+        if d % 11 == 0:
+            assert r["f_dup_segment"] and r["depth"] > 8 and r["is_trap"], r
+        if d % 13 == 0:
+            assert r["n_calendar"] >= 2 and r["is_trap"], r
+        if d % 17 == 0:
+            assert r["query_len"] == 128 and r["is_trap"], r
+        if d % 11 and d % 13 and d % 17 and r["is_trap"]:
+            assert r["f_dup_segment"], f"organic trap without dup segment: {r}"
+
+
+def test_host_triangles_matches_bruteforce(spark, sf_dir, duck):
+    """The oriented-edge triangle count must equal a brute-force
+    recomputation of the fixture graph (every unordered triple checked),
+    and the plan must stay equi-join-only — the degree orientation is
+    what bounds the wedge fan-out at scale, so a nested-loop fallback
+    would defeat the design."""
+    from itertools import combinations
+
+    from crawler_spark.plans.queries import _PR_HOSTS
+
+    cells = duck.execute(
+        f"SELECT DISTINCT l_orderkey % {_PR_HOSTS}, l_partkey % {_PR_HOSTS} "
+        "FROM lineitem"
+    ).fetchall()
+    und = {frozenset((s, d)) for s, d in cells
+           if s != d and (s * 31 + d * 17) % 7 < 3}
+    nodes = sorted({v for e in und for v in e})
+    want = dict.fromkeys(nodes, 0)
+    for a, b, c in combinations(nodes, 3):
+        if {frozenset((a, b)), frozenset((b, c)), frozenset((a, c))} <= und:
+            want[a] += 1
+            want[b] += 1
+            want[c] += 1
+
+    fn, _ = CATALOG["host_triangles"]
+    df = fn(spark, sf_dir)
+    got = {r["host_id"]: r["n_triangles"] for r in df.collect()}
+    assert got == want
+    plan = (df._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0])
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
 def test_dedup_spans_semantics_and_shape(spark, sf_dir):
     """ExactSubstr-style span dedup: originals of partially-copied docs must
     score exactly 1000pm (every window re-appears in the copy), copies
