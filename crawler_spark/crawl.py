@@ -16,7 +16,8 @@ driver loop that each iteration
    swaps this for a ``mapInPandas`` HTTP kernel with identical columns);
 4. **extracts** JSON-LD objects (Arrow-batched ``mapInPandas``, within-file
    id dedup inside the kernel — U1), diffs ids against the URL-seen set
-   (Bloom pre-filter + exact anti-join), ref-counts first-occurrences /
+   (Bloom or cuckoo pre-filter per ``CrawlConfig.seen_filter`` + exact
+   anti-join), ref-counts first-occurrences /
    orphans set-wise (A1 as one groupBy per epoch);
 5. **indexes** first-occurrence objects task-side: the embed kernel fills
    essential-fields text → embedding and writes the ``documents`` parquet
