@@ -82,6 +82,14 @@ class CrawlConfig:
     #: them off and derives totals from the committed state instead.
     collect_stats: bool = True
 
+    def __post_init__(self) -> None:
+        # fail at config time, not as a bare KeyError mid-crawl (ADVICE r4)
+        if self.seen_filter not in ("bloom", "cuckoo"):
+            raise ValueError(
+                f"seen_filter={self.seen_filter!r}: accepted values are "
+                "'bloom' or 'cuckoo' (pre-filter kind used when use_bloom "
+                "is on; use_bloom=False disables the pre-filter entirely)")
+
 
 @dataclass
 class EpochReport:
@@ -137,6 +145,23 @@ class CrawlEngine:
                 f"says {self.cfg.num_partitions} — refusing to misroute buckets")
         if pinned is None and store.exists("frontier"):
             store.set_meta(num_partitions=self.cfg.num_partitions)
+        # Seen-filter provenance (ADVICE r4): blob tables are only sound for
+        # the filter kind they were maintained under. Rows added while
+        # use_bloom=False (or under the other kind) are missing from the
+        # blobs — a probe would call them "definitely new" (duplicate
+        # re-add), and a cuckoo delete could erase a colliding live key's
+        # only fingerprint (false negative). On a recorded kind mismatch,
+        # DROP both blob tables: blobs reseed lazily per touched bucket via
+        # the legacy-seed path (run_epoch) — a rare metadata-only
+        # invalidation, never a wrong answer. Pre-provenance stores keep
+        # their blobs (no recorded kind to contradict).
+        kind = self._filter_table() or "none"
+        stored_kind = store.get_meta("seen_filter_kind")
+        if stored_kind is not None and stored_kind != kind:
+            for blob_table in ("blooms", "cuckoos"):
+                store.drop(blob_table)
+        if stored_kind != kind:
+            store.set_meta(seen_filter_kind=kind)
 
     def _filter_table(self) -> str | None:
         """Store table holding the seen-set pre-filter blobs, or None when
@@ -706,6 +731,23 @@ class CrawlEngine:
                 self.store.read_buckets(self.spark, ftable, only=touched)
                 if ftable and self.store.exists(ftable) else None
             )
+            # cuckoo overflow reseed: a blob that overflowed its kick budget
+            # is persisted with a NULL table and routes its bucket to the
+            # exact check. Rebuild such blobs here, from the bucket's seen
+            # rows this epoch is reading anyway. The gate is driver-side
+            # parquet footer null-counts over the touched blob files (no
+            # Spark job, O(touched) tiny footers); zero overflow — the
+            # overwhelmingly common case — adds nothing to the probe plan.
+            reseed_hosts: list[int] = []
+            if ftable == "cuckoos" and persisted_filters is not None:
+                reseed_hosts = self.store.buckets_with_nulls(
+                    ftable, "table", only=touched)
+                if reseed_hosts:
+                    persisted_filters = persisted_filters.where(
+                        ~F.col("host_hash").isin(reseed_hosts)
+                    ).unionByName(cuckoo_ops.build_host_cuckoos(
+                        seen_touched.where(
+                            F.col("host_hash").isin(reseed_hosts))))
             if ftable == "cuckoos":
                 added_df = cuckoo_ops.anti_join_new_ids_cuckoo(
                     ext_ids, existing, cuckoos=persisted_filters)
@@ -733,6 +775,7 @@ class CrawlEngine:
             seen_touched = self.spark.createDataFrame([], URL_SEEN)
             ftable = self._filter_table()
             persisted_filters = None
+            reseed_hosts = []
             added = self.store.materialize(self.spark, ext_ids, "added_epoch")
             removed = seen_touched.select("file_url", "user_id", "id", "host_hash")
             rows_added = self.store.scratch_rows("added_epoch")
@@ -1015,8 +1058,19 @@ class CrawlEngine:
                 futures["url_seen"] = pool.submit(
                     self.store.replace_buckets, seen_content, "url_seen", diff_hosts)
                 if new_filters is not None:
+                    # reseed_hosts widens the write set beyond diff_hosts:
+                    # an overflow-rebuilt blob persists even when its bucket
+                    # had no id diff this epoch (updated_cuckoos passes
+                    # untouched blobs through, so new_filters covers it)
                     futures[ftable] = pool.submit(
-                        self.store.replace_buckets, new_filters, ftable, diff_hosts)
+                        self.store.replace_buckets, new_filters, ftable,
+                        sorted(set(diff_hosts) | set(reseed_hosts)))
+            elif reseed_hosts:
+                # unchanged re-crawl epoch that rebuilt overflowed blobs:
+                # persist just those buckets so the rebuild isn't redone
+                futures[ftable] = pool.submit(
+                    self.store.replace_buckets, persisted_filters, ftable,
+                    reseed_hosts)
             futures["frontier"] = pool.submit(self._write_frontier, frontier_after, touched)
             # per-epoch lineage is append-only: O(1) write, unioned at read time
             f_metrics = pool.submit(self.store.append, metrics, "metrics", f"{epoch:06d}")

@@ -26,14 +26,23 @@ Multiset semantics make deletion safe: every insert adds one fingerprint
 copy and every delete removes one, and the engine only deletes rows that
 were previously inserted (``removed ⊆ seen``), so a delete can never
 erase the last witness of a *different* live key — two keys colliding on
-(bucket, fingerprint) hold two copies.
+(bucket, fingerprint) hold two copies. That precondition requires the
+blobs to have witnessed every insert: the engine pins the filter kind in
+store metadata (``seen_filter_kind``) and DROPS blob tables whose
+recorded provenance differs from the current config (rows added under
+``use_bloom=False`` or the other filter kind would otherwise be missing
+from the blobs — see ``CrawlEngine.__init__``).
 
 Capacity: tables are powers of two (the partial-key alternate bucket
 ``b2 = b1 XOR h(fp)`` must stay in range), sized with growth headroom at
 first contact. An insert that still fails after ``_MAX_KICKS``
 displacements marks the blob OVERFLOWED (table column set to NULL): the
-probe then routes the bucket to the exact check and the next epoch
-rebuilds the blob from the bucket's seen rows — the same
+probe then routes the bucket to the exact check, and the next epoch that
+*touches* the bucket rebuilds the blob from its seen rows (the engine's
+reseed path — ``crawl.py`` gates it on driver-side parquet footer
+null-counts over the touched blob files, so epochs with zero overflow pay
+nothing). An overflowed bucket in a never-again-touched partition keeps
+its NULL blob — harmless: the exact check owns it. Same
 "rare extra pass, never wrong" posture as the Bloom's lossless doubling
 (which cuckoo tables cannot do blindly: bucket indices depend on the full
 hash, which fingerprints alone don't retain).
@@ -230,8 +239,9 @@ def updated_cuckoos(
 
     A bucket whose blob overflows (insert fails after the kick budget) is
     emitted with a NULL table; the probe then routes it to the exact check
-    and the caller rebuilds it from the bucket's seen rows when convenient
-    (``build_host_cuckoos``)."""
+    and the engine rebuilds it from the bucket's seen rows at the next
+    epoch that touches the bucket (``build_host_cuckoos`` via the reseed
+    path in ``crawl.py``'s ``run_epoch``)."""
     diff = added.select(*(["host_hash"] + _ID_KEY)).withColumn("_op", F.lit(1))
     if removed is not None:
         diff = diff.unionByName(

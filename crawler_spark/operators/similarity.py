@@ -145,3 +145,86 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
     )
+
+
+def kmeans_bucket_assign(
+    emb: DataFrame, k: int = 16, quant: int = 1000,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Data-adaptive IVF buckets: one deterministic Lloyd step of k-means.
+
+    A fixed sign sketch assumes uncorrelated dimensions — on real
+    (anisotropic) embeddings whole quadrants can be empty while one bucket
+    holds most of the corpus. Learned centroids follow the data instead:
+
+    1. quantize each vector to integer milli-units (``floor(x·quant+0.5)``
+       — exact and identical in any engine, the fixed-point discipline all
+       cross-engine oracles here use);
+    2. seed centroids = the ``k`` vectors with the smallest ``id_col``
+       (a distributed ``TakeOrdered`` — O(k) driver bytes at any scale);
+    3. assign each vector to its nearest seed by *integer* squared L2
+       (broadcast join on k rows, zip_with fold — exact, order-free);
+    4. recompute centroids as per-cluster integer sums + counts (exact:
+       no float mean, so no summation-order divergence);
+    5. re-assign to the nearest updated centroid comparing
+       ``Σ(cnt·x − sum)² / cnt²`` — the integer numerator is exact and the
+       single double division is IEEE-identical everywhere; ties break on
+       cluster id.
+
+    Returns the input columns + ``bucket``. More Lloyd steps = repeat 4-5
+    (each is one small exchange over (cluster, dim) cells + a broadcast);
+    one step already adapts occupancy to the data, which is what the
+    bucket-equi-join pair stage needs. Scale shape: the corpus never
+    shuffles — steps 3/5 broadcast k centroid rows, step 4 exchanges only
+    k·dim aggregation cells.
+    """
+    xq = F.expr(
+        f"transform({vec_col}, x -> cast(floor(cast(x AS double) * {quant}"
+        " + 0.5d) AS bigint))")
+    v = emb.withColumn("_xq", xq)
+
+    # orderBy(id).limit(k) fixes WHICH rows seed; number them by id order
+    seeds = (
+        v.orderBy(id_col).limit(k)
+        .select(F.col(id_col).alias("_sid"), F.col("_xq").alias("_sq"))
+        .withColumn("_cl", F.row_number().over(Window.orderBy("_sid")) - 1)
+        .select("_cl", "_sq")
+    )
+
+    d_int = F.expr(
+        "aggregate(zip_with(_xq, _sq, (x, s) -> (x - s) * (x - s)), "
+        "0L, (acc, t) -> acc + t)")
+    assign1 = (
+        v.crossJoin(F.broadcast(seeds))
+        .withColumn("_d", d_int)
+        .withColumn("_r", F.row_number().over(
+            Window.partitionBy(id_col).orderBy("_d", "_cl")))
+        .filter(F.col("_r") == 1)
+        .select(id_col, "_xq", "_cl")
+    )
+
+    cells = (
+        assign1.select(id_col, "_cl", F.posexplode("_xq").alias("_dim", "_x"))
+        .groupBy("_cl", "_dim")
+        .agg(F.sum("_x").alias("_s"), F.count(F.lit(1)).alias("_n"))
+    )
+    centroids = (
+        cells.groupBy("_cl")
+        .agg(
+            F.expr("transform(array_sort(collect_list(struct(_dim, _s))), "
+                   "t -> t._s)").alias("_sum"),
+            F.first("_n").alias("_cnt"),
+        )
+    )
+
+    d2_int = F.expr(
+        "aggregate(zip_with(_xq, _sum, (x, s) -> (_cnt * x - s) * (_cnt * x - s)), "
+        "0L, (acc, t) -> acc + t)")
+    return (
+        v.crossJoin(F.broadcast(centroids))
+        .withColumn("_d", d2_int.cast("double") / (F.col("_cnt") * F.col("_cnt")).cast("double"))
+        .withColumn("_r", F.row_number().over(
+            Window.partitionBy(id_col).orderBy("_d", "_cl")))
+        .filter(F.col("_r") == 1)
+        .select(*emb.columns, F.col("_cl").alias("bucket"))
+    )

@@ -101,6 +101,19 @@ class SnapshotStore:
     def exists(self, name: str) -> bool:
         return self.read_manifest()["tables"].get(name) is not None
 
+    def drop(self, name: str) -> None:
+        """Remove ``name`` from the committed state (metadata-only; the data
+        dirs linger until :meth:`vacuum`). Used to invalidate *derived*
+        tables — e.g. seen-filter blobs whose recorded provenance no longer
+        matches the engine's ``seen_filter`` config, where a stale blob can
+        false-negative after deletions (operators/cuckoo.py)."""
+        manifest = self.read_manifest()
+        if manifest["tables"].pop(name, None) is None:
+            return
+        tmp = self._manifest_path.with_suffix(".json.tmp")
+        tmp.write_text(json.dumps(manifest, indent=1))
+        os.replace(tmp, self._manifest_path)
+
     def read(self, spark: SparkSession, name: str) -> DataFrame:
         version = self.read_manifest()["tables"].get(name)
         if version is None:
@@ -348,6 +361,25 @@ class SnapshotStore:
             vals.update(pq.read_table(str(f), columns=[col])
                         .column(col).unique().to_pylist())
         return vals
+
+    def buckets_with_nulls(
+        self, name: str, col: str, only: list[int] | None = None
+    ) -> list[int]:
+        """Bucket ids (within ``only``) whose live files hold NULLs in
+        ``col``, from parquet footer statistics alone — no Spark job.
+        Missing statistics read as "no NULLs" (callers must treat the
+        result as best-effort, e.g. the cuckoo overflow reseed, where a
+        missed bucket merely stays on the exact-check path)."""
+        want = None if only is None else {int(b) for b in only}
+        out: list[int] = []
+        for b_str, ver in self.bucket_versions(name).items():
+            b = int(b_str)
+            if want is not None and b not in want:
+                continue
+            d = self._bucket_dir(name, b, int(ver))
+            if d.exists() and parquet_null_counts(d, [col])[col] > 0:
+                out.append(b)
+        return sorted(out)
 
     def has_live_buckets(self, name: str, only: list[int] | None = None) -> bool:
         """True if any of the ``only`` buckets (or any bucket) of a bucketed

@@ -80,6 +80,8 @@ class TxnLogStore(SnapshotStore):
         if "epoch" in action:
             state["epoch"] = action["epoch"]
         state["tables"].update(action.get("tables", {}))
+        for name in action.get("drop_tables", []):
+            state["tables"].pop(name, None)
         if action.get("lineage_row") is not None:
             state.setdefault("lineage", []).append(action["lineage_row"])
         state.setdefault("meta", {}).update(action.get("meta", {}))
@@ -123,3 +125,8 @@ class TxnLogStore(SnapshotStore):
 
     def set_meta(self, **kv) -> None:
         self._append_action({"meta": kv})
+
+    def drop(self, name: str) -> None:
+        if self.read_manifest()["tables"].get(name) is None:
+            return
+        self._append_action({"drop_tables": [name]})

@@ -66,7 +66,25 @@ def split_warc_blob(blob: bytes) -> list[tuple[str, str, int, str, bool]]:
             headers[key.strip().lower().decode("ascii", "replace")] = (
                 val.strip().decode("utf-8", "replace")
             )
-        length = int(headers.get("content-length", "0"))
+        try:
+            length = int(headers.get("content-length", "0"))
+        except ValueError:
+            length = -1
+        if length < 0:
+            # Unparsable or negative Content-Length: the frame boundary is
+            # unknowable, so resynchronizing would risk an infinite loop
+            # (negative length moves ``pos`` backwards). Emit a truncated
+            # record and stop — same contract as a torn tail.
+            out.append(
+                (
+                    headers.get("warc-target-uri", ""),
+                    headers.get("warc-type", ""),
+                    0,
+                    "",
+                    True,
+                )
+            )
+            break
         body_start = hdr_end + len(_HDR_END)
         body_end = body_start + length
         payload = blob[body_start:body_end]

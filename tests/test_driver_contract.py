@@ -636,3 +636,19 @@ def test_hypertable_rollup_single_pass(spark, sf_dir):
     for g in ("minute", "hour"):
         assert sum(r["n_events"] for r in by_g[g]) == \
             sum(r["n_events"] for r in by_g["day"]), g
+
+
+def test_embedding_ivf_pair_stage_is_equi_join(spark, sf_dir):
+    """dedup_embedding_ivf's PAIR stage must equi-join on the learned
+    bucket. The only nested-loop joins allowed in the plan are the two
+    k=16 centroid-table broadcasts (a 16-row side is the textbook
+    broadcast; it never grows with the corpus)."""
+    fn, _ = CATALOG["dedup_embedding_ivf"]
+    plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # 2 centroid broadcasts × 2 sides of the pair self-join = 4 in the
+    # initial plan; AQE's ReusedExchange collapses the duplicates at run
+    # time. What must NOT appear is a nested-loop with a corpus-sized side.
+    assert plan.count("BroadcastNestedLoopJoin") <= 4, (
+        "an all-pairs join crept in beyond the k-row centroid "
+        f"broadcasts:\n{plan}")

@@ -242,3 +242,135 @@ def test_engine_with_cuckoo_filter_end_to_end(spark, tmp_path):
     fresh, _ = split_by_cuckoo_blobs(
         live, eng_c.store.read(spark, "cuckoos"))
     assert fresh.count() == 0, "live key escaped the pruned blobs"
+
+
+def test_seen_filter_config_validated_at_construction():
+    """ADVICE r4: a typo'd seen_filter must fail at config time with the
+    accepted values, not as a bare KeyError mid-crawl."""
+    import pytest
+
+    from crawler_spark.crawl import CrawlConfig
+
+    with pytest.raises(ValueError, match="bloom.*cuckoo"):
+        CrawlConfig(seen_filter="Cuckoo")
+    with pytest.raises(ValueError, match="seen_filter"):
+        CrawlConfig(seen_filter="bloom ")
+
+
+def test_filter_provenance_mismatch_drops_blobs(spark, tmp_path):
+    """ADVICE r4 deletion-safety: blobs are only sound for the filter kind
+    they were maintained under. Opening the store with a different
+    ``seen_filter`` must drop the mismatched blob tables (they reseed
+    lazily) and re-pin the recorded kind."""
+    from crawler_spark.crawl import CrawlConfig, CrawlEngine
+    from crawler_spark.sources.synth import corpus_pages_df, seeds_df
+    from crawler_spark.sources.tables import SnapshotStore
+
+    pages = corpus_pages_df(spark, 4, 2, items_per_chunk=3)
+    store = SnapshotStore(tmp_path / "state")
+    eng = CrawlEngine(spark, store, pages,
+                      CrawlConfig(num_partitions=8, salt_buckets=4,
+                                  seen_filter="cuckoo"))
+    eng.bootstrap(seeds_df(spark, 4))
+    eng.run()
+    assert store.exists("cuckoos")
+    assert store.get_meta("seen_filter_kind") == "cuckoos"
+    seen_before = {tuple(r) for r in eng.url_seen()
+                   .select("file_url", "user_id", "id").collect()}
+
+    # reopening under the SAME kind keeps the blobs
+    CrawlEngine(spark, store, pages,
+                CrawlConfig(num_partitions=8, salt_buckets=4,
+                            seen_filter="cuckoo"))
+    assert store.exists("cuckoos")
+
+    # reopening under the Bloom default invalidates the cuckoo blobs
+    eng_b = CrawlEngine(spark, store, pages,
+                        CrawlConfig(num_partitions=8, salt_buckets=4))
+    assert not store.exists("cuckoos")
+    assert store.get_meta("seen_filter_kind") == "blooms"
+    # the seen set itself is untouched, and the engine still answers
+    # exactly through the blob-less probe path
+    seen_after = {tuple(r) for r in eng_b.url_seen()
+                  .select("file_url", "user_id", "id").collect()}
+    assert seen_after == seen_before
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("content_changed", [False, True])
+def test_overflowed_blob_reseeds_on_next_touched_epoch(
+    spark, tmp_path, content_changed
+):
+    """An overflowed (NULL-table) blob must be rebuilt from the bucket's
+    seen rows by the next epoch that touches the bucket — both when that
+    epoch carries id diffs (widened filter write set) and when the
+    re-crawl is unchanged (reseed-only persist)."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.crawl import CrawlConfig, CrawlEngine
+    from crawler_spark.sources.synth import (
+        chunk_url,
+        corpus_pages_df,
+        seeds_df,
+        site_host,
+    )
+    from crawler_spark.sources.tables import SnapshotStore
+
+    n_sites, chunks, items = 6, 2, 4
+    pages = corpus_pages_df(spark, n_sites, chunks, items_per_chunk=items)
+    cfg = CrawlConfig(num_partitions=8, salt_buckets=4, seen_filter="cuckoo")
+    store = SnapshotStore(tmp_path / "state")
+    engine = CrawlEngine(spark, store, pages, cfg)
+    engine.bootstrap(seeds_df(spark, n_sites))
+    engine.run()
+
+    bucket = spark.createDataFrame([(site_host(0),)], "h string").select(
+        F.pmod(F.hash("h"), F.lit(cfg.num_partitions)).alias("b")
+    ).first()["b"]
+
+    # simulate an overflow: NULL out that bucket's blob (the marker
+    # updated_cuckoos emits when the kick budget is exhausted)
+    blobs = store.read(spark, "cuckoos")
+    row = blobs.filter(F.col("host_hash") == bucket).first()
+    assert row is not None and row["table"] is not None
+    nulled = spark.createDataFrame(
+        [{"host_hash": int(bucket), "table": None,
+          "n_buckets": int(row["n_buckets"]), "n_items": int(row["n_items"])}],
+        blobs.schema)
+    epoch = store.read_manifest()["epoch"] + 1
+    store.commit(epoch, {"cuckoos": store.replace_buckets(
+        nulled, "cuckoos", [int(bucket)])})
+    assert store.buckets_with_nulls("cuckoos", "table") == [int(bucket)]
+
+    # next epoch touches the bucket: manual re-add of site 0's files
+    pages_b = pages
+    if content_changed:
+        pages_b = pages.withColumn(
+            "html",
+            F.when(
+                F.col("url") == chunk_url(0, 0),
+                F.encode(F.regexp_replace(
+                    F.decode(F.col("html"), "utf-8"),
+                    "#schema-", "#schemaX-"), "utf-8"),
+            ).otherwise(F.col("html")))
+    eng_b = CrawlEngine(spark, store, pages_b, cfg)
+    readd = spark.createDataFrame([
+        {"site_url": site_host(0), "user_id": "test:user001",
+         "file_url": chunk_url(0, c), "schema_map": "manual"}
+        for c in range(chunks)
+    ])
+    eng_b.add_manual_files(readd, store.read_manifest()["epoch"] + 1)
+    eng_b.run()
+
+    # the blob is whole again and covers the bucket's live rows exactly
+    assert store.buckets_with_nulls("cuckoos", "table") == []
+    reblob = store.read(spark, "cuckoos").filter(
+        F.col("host_hash") == bucket).first()
+    assert reblob["table"] is not None
+    bucket_rows = eng_b.url_seen().filter(F.col("host_hash") == bucket)
+    assert int(reblob["n_items"]) == bucket_rows.count()
+    fresh, _ = split_by_cuckoo_blobs(
+        eng_b.url_seen(), store.read(spark, "cuckoos"))
+    assert fresh.count() == 0, "live key escaped the reseeded blobs"

@@ -81,3 +81,61 @@ def test_lsh_full_probe_equals_brute_force(spark, sf_dir):
     truth = brute_force_topk(q, emb, k=5).select("query_id", "neighbor_id")
     full = lsh_topk(q, emb, k=5, bits=4, n_probe=16).select("query_id", "neighbor_id")
     assert {(r[0], r[1]) for r in full.collect()} == {(r[0], r[1]) for r in truth.collect()}
+
+
+def _anisotropic_corpus(spark, n=400, dim=16):
+    """A corpus a fixed sign sketch cannot bucket: every dimension is
+    strictly positive (think post-ReLU or L2-normalized-nonneg features),
+    so all 2^8 sign-quadrant buckets except one are EMPTY."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    centers = np.abs(rng.standard_normal((8, dim))) + 0.2
+    rows = []
+    for i in range(n):
+        v = centers[i % 8] + 0.1 * np.abs(rng.standard_normal(dim))
+        rows.append({"vec_id": i, "embedding": [float(x) for x in v]})
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_kmeans_buckets_balance_anisotropic_corpus(spark):
+    """r4 verdict #4: on an anisotropic (all-positive) corpus the fixed
+    sign sketch collapses to ONE bucket; the learned-centroid assignment
+    must spread occupancy so the pair equi-join has no single hot bucket."""
+    from crawler_spark.operators.similarity import kmeans_bucket_assign
+
+    emb = _anisotropic_corpus(spark)
+    n = emb.count()
+
+    sign_bucket = sum(
+        (F.expr(f"cast(embedding[{i}] AS double)") > 0).cast("int") * (1 << i)
+        for i in range(8))
+    sign_occ = [r["c"] for r in emb.withColumn("b", sign_bucket)
+                .groupBy("b").agg(F.count(F.lit(1)).alias("c")).collect()]
+    assert max(sign_occ) == n, "corpus should defeat the sign sketch"
+
+    km = kmeans_bucket_assign(emb, k=8)
+    occ = {r["bucket"]: r["c"] for r in km.groupBy("bucket")
+           .agg(F.count(F.lit(1)).alias("c")).collect()}
+    assert sum(occ.values()) == n, "assignment must be a partition"
+    assert len(occ) >= 4, f"learned buckets collapsed: histogram {occ}"
+    assert max(occ.values()) <= 0.5 * n, (
+        f"hot learned bucket: histogram {occ} (sign sketch: one bucket of {n})")
+
+
+def test_kmeans_bucket_assign_is_deterministic_and_dup_consistent(spark):
+    """Identical vectors must land in identical buckets (duplicate recall 1
+    by construction for `dedup_embedding_ivf`), and re-running the plan
+    must reproduce the assignment bit-for-bit (no RNG, no float means)."""
+    from crawler_spark.operators.similarity import kmeans_bucket_assign
+
+    emb = _planted_corpus(spark, n_clusters=6, per_cluster=10)
+    doubled = emb.select("vec_id", "embedding").unionByName(
+        emb.select((F.col("vec_id") + 1000).alias("vec_id"), "embedding"))
+    got = {r["vec_id"]: r["bucket"]
+           for r in kmeans_bucket_assign(doubled, k=8).collect()}
+    for vid in range(60):
+        assert got[vid] == got[vid + 1000], f"copy of {vid} split buckets"
+    again = {r["vec_id"]: r["bucket"]
+             for r in kmeans_bucket_assign(doubled, k=8).collect()}
+    assert got == again

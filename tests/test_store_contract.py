@@ -202,3 +202,42 @@ def test_task_write_replace_contract(spark, make_store):
     got = sorted((r.host_hash, r.k, r.v) for r in store.read(spark, "t").collect())
     assert [r for r in got if r[0] == 1] == [(1, "k1x", 99)]
     assert len(got) == 11
+
+
+def test_drop_removes_table_until_rewritten(spark, make_store):
+    """``drop`` (filter-blob invalidation seam) removes both snapshot and
+    bucketed tables from committed state, is idempotent, and the name is
+    rewritable from scratch afterwards."""
+    store = make_store()
+    v0 = store.write(_df(spark, [(0, "a", 1)]), "t")
+    store.commit(0, {"t": v0})
+    store.drop("t")
+    assert not store.exists("t")
+    store.drop("t")  # idempotent on an already-missing table
+
+    vers = store.replace_buckets(
+        _df(spark, [(0, "a", 1), (1, "b", 2)]), "bk", [0, 1])
+    store.commit(1, {"bk": vers})
+    assert store.bucket_versions("bk")
+    store.drop("bk")
+    assert not store.exists("bk")
+    assert store.bucket_versions("bk") == {}
+
+    v1 = store.write(_df(spark, [(2, "c", 3)]), "t")
+    store.commit(2, {"t": v1})
+    assert store.read(spark, "t").count() == 1
+
+
+def test_buckets_with_nulls_footer_stats(spark, make_store):
+    """Driver-side footer gate used by the cuckoo overflow reseed: only
+    buckets whose files hold NULLs in the probed column are reported."""
+    store = make_store()
+    df = spark.createDataFrame(
+        [{"host_hash": 0, "table": b"x"},
+         {"host_hash": 1, "table": None},
+         {"host_hash": 2, "table": b"y"}],
+        "host_hash int, table binary")
+    vers = store.replace_buckets(df, "blobs", [0, 1, 2])
+    store.commit(0, {"blobs": vers})
+    assert store.buckets_with_nulls("blobs", "table") == [1]
+    assert store.buckets_with_nulls("blobs", "table", only=[0, 2]) == []

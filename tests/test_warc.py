@@ -70,3 +70,29 @@ def test_warc_catalog_single_fixture_exchange(spark, sf_dir):
         .split("== Initial Plan ==")[0]
     )
     assert plan.count("Exchange") == 1, plan
+
+
+def test_warc_malformed_content_length_terminates_truncated():
+    """ADVICE r4: a non-numeric Content-Length must not raise (torn-tail
+    contract), and a negative one must not move the cursor backwards
+    (infinite loop). Both yield a truncated record and stop."""
+    whole = _record("https://a/1", b"fine")
+
+    bad = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://a/nan\r\n"
+        b"Content-Length: banana\r\n\r\npayload\r\n\r\n"
+    )
+    got = split_warc_blob(whole + bad)
+    assert [(u, t) for u, _, _, _, t in got] == [
+        ("https://a/1", False),
+        ("https://a/nan", True),
+    ]
+
+    neg = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://a/neg\r\n"
+        b"Content-Length: -7\r\n\r\npayload\r\n\r\n"
+    )
+    got2 = split_warc_blob(whole + neg)  # must terminate, not loop
+    assert got2[1] == ("https://a/neg", "response", 0, "", True)
