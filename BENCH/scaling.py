@@ -167,7 +167,43 @@ def _regate() -> dict[str, float]:
         _time.sleep(120)
 
 
+#: cross-attempt pair pool (r4 verdict #2): single attempts are
+#: median-of-REPS, but the 1-core denominator swings ±35% with host luck,
+#: so the ROUND's headline pools every gated pair across attempts and
+#: reports the median of per-pair efficiencies — more pairs, different
+#: windows, one estimator. Each attempt appends its pairs here.
+PAIR_POOL = REPO / "BENCH" / "scaling_pairs_pool.jsonl"
+
+
+def _pool_append(pairs: list[dict]) -> None:
+    with PAIR_POOL.open("a") as f:
+        for p in pairs:
+            f.write(json.dumps(p) + "\n")
+
+
+def pooled_summary() -> dict | None:
+    """Median of per-pair efficiencies over every pooled pair whose 4N-arm
+    probe met the window gate, plus spread and attempt count."""
+    if not PAIR_POOL.exists():
+        return None
+    pairs = [json.loads(ln) for ln in PAIR_POOL.read_text().splitlines() if ln.strip()]
+    gated = [p for p in pairs if p["probe_4n_ratio"] >= WINDOW_MIN_RATIO]
+    if not gated:
+        return {"pairs_total": len(pairs), "pairs_gated": 0}
+    effs = sorted(p["efficiency"] for p in gated)
+    import statistics
+    return {
+        "pairs_total": len(pairs),
+        "pairs_gated": len(gated),
+        "attempts": len({p["attempt_ts"] for p in gated}),
+        "median_efficiency": round(statistics.median(effs), 3),
+        "min_efficiency": effs[0], "max_efficiency": effs[-1],
+        "gated_efficiencies": effs,
+    }
+
+
 def _measure(bw) -> None:
+    attempt_ts = datetime.datetime.now().isoformat(timespec="seconds")
     runs: dict[int, list[dict]] = {N: [], FOUR_N: []}
     pair_probes: list[dict] = []
     run_probes: list[dict] = []
@@ -199,12 +235,28 @@ def _measure(bw) -> None:
         round(h["crawl"]["urls_per_sec"] / (4.0 * l["crawl"]["urls_per_sec"]), 3)
         for l, h in zip(runs[N], runs[FOUR_N])
     ]
+    # feed the cross-attempt pool: one record per pair with the probe the
+    # window-sensitive 4N arm actually launched under
+    probes_4n = [p for p in run_probes if p["cores"] == FOUR_N]
+    _pool_append([
+        {
+            "attempt_ts": attempt_ts, "rep": i,
+            "urls_per_sec_n": l["crawl"]["urls_per_sec"],
+            "urls_per_sec_4n": h["crawl"]["urls_per_sec"],
+            "efficiency": e,
+            "probe_4n_ratio": probes_4n[i]["window_ratio"],
+            "scale": SCALE, "n_cores": N,
+        }
+        for i, (l, h, e) in enumerate(zip(runs[N], runs[FOUR_N], pair_effs))
+    ])
+    pooled = pooled_summary()
     result = {
         "metric": f"crawl throughput scaling efficiency, local[{N}] -> local[{FOUR_N}]",
         "n_cores": N, "4n_cores": FOUR_N,
         "urls_per_sec_n": ups_lo, "urls_per_sec_4n": ups_hi,
         "efficiency": eff, "target": 0.8, "pass": eff >= 0.8,
         "per_pair_efficiencies": pair_effs,
+        "pooled": pooled,
         "sf": lo["sf"], "reps": REPS,
         "all_runs": {str(k): [r["crawl"]["urls_per_sec"] for r in v] for k, v in runs.items()},
         "memcpy_gbps": bw,
@@ -241,6 +293,23 @@ what the north rule's efficiency ratio describes).
 
 All runs (urls/sec): N = {result["all_runs"][str(N)]}, 4N = {result["all_runs"][str(FOUR_N)]}.
 Per-pair efficiencies (interleaved order): {pair_effs}.
+
+## Pooled estimator (cross-attempt)
+
+Single attempts are median-of-{REPS}, but the 1-core denominator swings
+±35% with host luck (r4 cross-attempt analysis), so the ROUND's headline
+is the median of per-pair efficiencies pooled over EVERY pair, across all
+attempts and windows, whose 4N-arm launch probe met the window gate
+(ratio ≥ {WINDOW_MIN_RATIO}; pool file `BENCH/scaling_pairs_pool.jsonl`):
+{json.dumps(pooled)}.
+**Pooled median efficiency = {pooled.get("median_efficiency", "n/a") if pooled else "n/a"}
+over {pooled.get("pairs_gated", 0) if pooled else 0} gated pairs from
+{pooled.get("attempts", 0) if pooled else 0} attempt(s)** (target ≥ 0.8 →
+{"PASS" if pooled and pooled.get("median_efficiency", 0) >= 0.8 else "FAIL/insufficient"}).
+Confidence note: per-pair spread is
+[{pooled.get("min_efficiency", "-") if pooled else "-"}, {pooled.get("max_efficiency", "-") if pooled else "-"}];
+the denominator (1-core) arm dominates the variance, so pairs — not runs —
+are the resampling unit.
 Per-pair window probes (memcpy GB/s, taken immediately before each pair —
 pairs re-gate on ratio ≥ {WINDOW_MIN_RATIO} with a bounded wait):
 {json.dumps(pair_probes)}.

@@ -77,6 +77,11 @@ BENCH_QUERIES = [
     "text_quality",
     "token_stats",
     "top_tokens",
+    # round 5 (r4 verdict #6): the training-pipeline operators joined the
+    # headline set — totals are NOT comparable with BENCH_r04's 17-query
+    # suite; compare per-query or on the common subset (NOTES.md).
+    "pack_sequences",
+    "posting_lists",
 ]
 
 # crawl corpus per sf: (n_sites, chunks_per_site, items_per_chunk, hot_chunks)
@@ -99,8 +104,10 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     for t in ("lineitem", "orders", "customer", "events", "documents", "embeddings"):
         spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
 
+    subset_env = os.environ.get("SPARK_GRAFT_QUERY_SUBSET")
+    names = subset_env.split(",") if subset_env else BENCH_QUERIES
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    for name in names:
         fn, _ = CATALOG[name]
         t0 = time.time()
         n = fn(spark, sf_dir).count()  # full materialization
@@ -203,6 +210,18 @@ def main() -> None:
             crawl = run_crawl_bench(spark, sf_tag, CPUS)
             spark.stop()
             print(json.dumps({"crawl": crawl, "cpus": CPUS, "sf": sf_tag}))
+            return
+
+        if "--queries-only" in sys.argv:
+            # subprocess mode for per-query core-scaling legs
+            # (BENCH/queries_scaling.py): fresh JVM, suite only, no crawl;
+            # SPARK_GRAFT_QUERY_SUBSET narrows the suite
+            spark = build_session(app_name="crawler_spark_qscaling", cores=CPUS, extra_conf=conf)
+            spark.sparkContext.setLogLevel("ERROR")
+            timings = run_queries(spark, SF_DIR)
+            spark.stop()
+            print(json.dumps({"queries": timings, "cpus": CPUS, "sf": sf_tag,
+                              "value": round(sum(timings.values()), 3)}))
             return
 
         spark = build_session(app_name="crawler_spark_bench", cores=CPUS, extra_conf=conf)

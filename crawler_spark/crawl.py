@@ -636,6 +636,15 @@ class CrawlEngine:
         # pass or anti-join reconstructs them.
         jobs_cols = fetch_jobs.select("file_url", "user_id", "site_url", "queued_at")
         if self._fetcher is not None:
+            # thread robots Crawl-delay to the HTTP kernel so it can space
+            # same-host requests WITHIN the epoch (the budget only caps the
+            # count per window; sources/http_fetch.py does the pacing)
+            if robots is not None:
+                jobs_cols = (
+                    fetch_jobs.join(F.broadcast(robots), "host", "left")
+                    .select("file_url", "user_id", "site_url", "queued_at",
+                            F.col("crawl_delay").cast("double")
+                            .alias("crawl_delay_s")))
             fetched = self._fetcher(jobs_cols)  # FETCHED_SCHEMA, real HTTP
         else:
             # deterministic pages-join stand-in: missing url ⇒ a 404.

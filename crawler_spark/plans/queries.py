@@ -430,7 +430,13 @@ def _spread(df: DataFrame) -> DataFrame:
     inputs have row groups ≫ cores, the guard is false, and NO repartition
     (i.e. no full-corpus text shuffle) appears in the 100-TB plan.
     """
-    want = df.sparkSession.sparkContext.defaultParallelism
+    spark = df.sparkSession
+    # the probe itself costs one RDD conversion per invocation (plan
+    # analysis only, no job) — negligible here but pure overhead on a
+    # cluster, so deployments disable it outright (r4 verdict nit #3)
+    if spark.conf.get("spark.crawler.spreadTinyScans", "true") == "false":
+        return df
+    want = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < want:
         return df.repartition(want)
     return df

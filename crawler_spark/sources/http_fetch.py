@@ -15,14 +15,21 @@ Scale notes:
 * the kernel is pure map-side: fetches run where the frontier partition
   lives (host-hash partitioning upstream means a task's URLs share hosts,
   so keep-alive connections are actually reused);
-* politeness is enforced *before* this operator by the budget window
-  (``operators/politeness.py``) — the kernel never sees more URLs per host
-  per epoch than the crawl-delay budget allows.
+* politeness is enforced at TWO grains: the budget window
+  (``operators/politeness.py``) caps URLs per host per epoch *before* this
+  operator, and the kernel itself spaces same-host requests by the row's
+  ``crawl_delay_s`` (robots Crawl-delay, broadcast-joined by the engine)
+  so a 60 s epoch with budget 10 cannot burst 10 requests in 2 s. Hosts
+  are partition-local (host-hash partitioning upstream), so the
+  last-request clock is a tiny per-task dict; the clock and sleeper are
+  injectable for deterministic tests.
 """
 
 from __future__ import annotations
 
+import time
 from collections.abc import Callable, Iterator
+from urllib.parse import urlsplit
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -61,22 +68,47 @@ def requests_transport(timeout: float = DEFAULT_TIMEOUT) -> Transport:
     return get
 
 
-def make_fetch_kernel(transport_factory: Callable[[], Transport]):
+def make_fetch_kernel(
+    transport_factory: Callable[[], Transport],
+    min_delay_s: float = 0.0,
+    clock: Callable[[], float] | None = None,
+    sleep: Callable[[float], None] | None = None,
+):
     """``mapInPandas`` kernel factory: frontier job rows → fetched rows.
 
-    Input columns: ``file_url, user_id, site_url, queued_at``; output is
-    :data:`FETCHED_SCHEMA`. The transport is created once per task and
-    reused across every batch the task processes.
+    Input columns: ``file_url, user_id, site_url, queued_at`` plus an
+    optional ``crawl_delay_s`` (robots Crawl-delay per row; absent/null →
+    ``min_delay_s``); output is :data:`FETCHED_SCHEMA`. The transport is
+    created once per task and reused across every batch the task
+    processes. Same-host requests are spaced ≥ the row's delay using a
+    per-task last-request clock that survives across batches — the
+    within-epoch pacing that the per-epoch budget alone cannot give
+    (a budget-10 host would otherwise burst its 10 fetches back to back).
+    ``clock``/``sleep`` default to monotonic wall time and are injectable
+    so tests assert spacing with a fake clock.
     """
+    _clock = clock or time.monotonic
+    _sleep = sleep or time.sleep
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         transport: Transport | None = None
+        last_by_host: dict[str, float] = {}
         for pdf in batches:
             if transport is None:
                 transport = transport_factory()
+            delays = pdf["crawl_delay_s"] if "crawl_delay_s" in pdf.columns else None
             status, body, err = [], [], []
-            for url in pdf["file_url"]:
+            for i, url in enumerate(pdf["file_url"]):
+                delay = min_delay_s
+                if delays is not None and not pd.isna(delays.iloc[i]):
+                    delay = max(float(delays.iloc[i]), min_delay_s)
+                host = urlsplit(url).netloc.lower()
+                if delay > 0 and host in last_by_host:
+                    wait = last_by_host[host] + delay - _clock()
+                    if wait > 0:
+                        _sleep(wait)
                 s, b, e = transport(url)
+                last_by_host[host] = _clock()
                 status.append(s)
                 body.append(b)
                 err.append(e)
@@ -92,16 +124,21 @@ def make_fetch_kernel(transport_factory: Callable[[], Transport]):
 def fetch_pages(
     jobs: DataFrame,
     transport_factory: Callable[[], Transport] | None = None,
+    min_delay_s: float = 0.0,
+    clock: Callable[[], float] | None = None,
+    sleep: Callable[[float], None] | None = None,
 ) -> DataFrame:
     """Fetch the job rows' URLs over HTTP; returns :data:`FETCHED_SCHEMA`.
 
     Drop-in replacement for the engine's fetch-join: rows with a non-null
     ``html`` are the ``ok`` set, null-``html`` rows carry ``status_code`` +
-    ``fetch_error`` for the metrics/processing_errors sinks.
+    ``fetch_error`` for the metrics/processing_errors sinks. If ``jobs``
+    carries a ``crawl_delay_s`` column the kernel honors it as the same-host
+    inter-request spacing.
     """
     factory = transport_factory or requests_transport
-    kernel = make_fetch_kernel(factory)
-    return (
-        jobs.select("file_url", "user_id", "site_url", "queued_at")
-        .mapInPandas(kernel, schema=FETCHED_SCHEMA)
-    )
+    kernel = make_fetch_kernel(factory, min_delay_s, clock, sleep)
+    cols = ["file_url", "user_id", "site_url", "queued_at"]
+    if "crawl_delay_s" in jobs.columns:
+        cols.append("crawl_delay_s")
+    return jobs.select(*cols).mapInPandas(kernel, schema=FETCHED_SCHEMA)

@@ -713,3 +713,64 @@ def test_politeness_budget_and_order(spark, tmp_path):
     assert ordered == sorted(ordered[:1]) + sorted(ordered[1:])  # epochs ascend
     expected = [f"https://{site_host(0)}/chunk{i}.json" for i in range(4)]
     assert ordered == expected
+
+
+def test_http_kernel_paces_same_host_requests():
+    """r4 verdict #5: budget-per-epoch alone lets a host's whole budget
+    burst in seconds. The kernel must space same-host requests >= the
+    row's robots crawl_delay_s, across batch boundaries, while hosts with
+    no delay proceed unthrottled. Fake clock: no real sleeping."""
+    import pandas as pd
+
+    from crawler_spark.sources.http_fetch import make_fetch_kernel
+
+    class FakeClock:
+        def __init__(self):
+            self.t = 0.0
+
+        def now(self):
+            return self.t
+
+        def sleep(self, s):
+            assert s > 0
+            self.t += s
+
+    clk = FakeClock()
+    starts = []
+
+    def factory():
+        def get(url):
+            host = url.split("/")[2]
+            starts.append((host, clk.t))
+            clk.t += 0.2  # the fetch itself takes 0.2 s
+            return 200, b"x", None
+
+        return get
+
+    def batch(rows):
+        return pd.DataFrame(
+            [{"file_url": u, "user_id": "u", "site_url": "s",
+              "queued_at": pd.Timestamp("2026-01-01"),
+              "crawl_delay_s": d} for u, d in rows])
+
+    kernel = make_fetch_kernel(factory, clock=clk.now, sleep=clk.sleep)
+    out = list(kernel(iter([
+        batch([("https://slow.com/1", 2.0), ("https://fast.com/1", None),
+               ("https://fast.com/2", None), ("https://slow.com/2", 2.0)]),
+        # second batch: the per-host clock must carry over
+        batch([("https://slow.com/3", 2.0), ("https://fast.com/3", None)]),
+    ])))
+
+    slow = [t for h, t in starts if h == "slow.com"]
+    fast = [t for h, t in starts if h == "fast.com"]
+    assert len(slow) == 3 and len(fast) == 3
+    gaps = [b - a for a, b in zip(slow, slow[1:])]
+    assert all(g >= 2.0 for g in gaps), f"same-host spacing violated: {gaps}"
+    # the no-delay host was never throttled on its own account: its fetches
+    # only move with time already spent, never with an added sleep of its own
+    fgaps = [b - a for a, b in zip(fast, fast[1:])]
+    assert min(fgaps) < 2.0, f"no-delay host was over-throttled: {fgaps}"
+    assert sum(len(p) for p in out) == 6
+    assert all(set(p.columns) == {"file_url", "user_id", "site_url",
+                                  "queued_at", "html", "status_code",
+                                  "fetch_error"} for p in out)

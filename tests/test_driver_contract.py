@@ -652,3 +652,18 @@ def test_embedding_ivf_pair_stage_is_equi_join(spark, sf_dir):
     assert plan.count("BroadcastNestedLoopJoin") <= 4, (
         "an all-pairs join crept in beyond the k-row centroid "
         f"broadcasts:\n{plan}")
+
+
+def test_spread_probe_can_be_disabled(spark, sf_dir):
+    """`spark.crawler.spreadTinyScans=false` must bypass the fixture-only
+    tiny-scan repartition probe (cluster deployments skip the per-query RDD
+    conversion it costs) without changing results."""
+    from crawler_spark.plans.queries import q_dedup_exact
+
+    want = sorted(tuple(r) for r in q_dedup_exact(spark, sf_dir).collect())
+    spark.conf.set("spark.crawler.spreadTinyScans", "false")
+    try:
+        got = sorted(tuple(r) for r in q_dedup_exact(spark, sf_dir).collect())
+    finally:
+        spark.conf.unset("spark.crawler.spreadTinyScans")
+    assert got == want

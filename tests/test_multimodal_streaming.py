@@ -319,3 +319,61 @@ def test_streaming_sessionize_sandwich(spark, sf_dir, tmp_path):
     assert must_emit <= set(got), f"missing closed sessions: {must_emit - set(got)}"
     for k in got:
         assert got[k] == want[k], f"session {k}: {got[k]} != {want[k]}"
+
+
+def test_streaming_quiet_period_spans_dataless_batches(spark, tmp_path):
+    """r4 verdict #8, end-to-end: user A's session closes by TIMEOUT in a
+    micro-batch that carries no A data, the tombstone then survives a
+    further data-less batch, and A's next event continues session_seq at 2
+    — all through a real applyInPandasWithState stream, not the fold alone.
+    User B supplies the events that advance the watermark while A is quiet.
+    """
+    import pandas as pd
+
+    def ev(eid, uid, minute):
+        return {"event_id": eid, "user_id": uid,
+                "ts": pd.Timestamp(2026, 1, 1, 0, minute, 0)}
+
+    files = [
+        # A: two events 30 s apart (one session); B anchors the watermark
+        [ev(1, 1, 0), {"event_id": 2, "user_id": 1,
+                       "ts": pd.Timestamp(2026, 1, 1, 0, 0, 30)}, ev(3, 2, 0)],
+        [ev(4, 2, 5)],    # wm -> 00:00:30: A open, quiet batch 1
+        [ev(5, 2, 10)],   # wm -> 00:05: A times out HERE (no A data)
+        [ev(6, 2, 12)],   # wm -> 00:10: tombstone rides a 2nd quiet batch
+        [ev(7, 1, 15), ev(8, 2, 15)],   # A returns: must open seq 2
+        [ev(9, 2, 40)],   # wm -> 00:15
+        [ev(10, 2, 50)],  # wm -> 00:40 > 00:16: emits A session 2
+    ]
+    src = tmp_path / "quiet_src"
+    src.mkdir()
+    for i, rows in enumerate(files):
+        pd.DataFrame(rows).to_parquet(str(src / f"f{i:02d}.parquet"),
+                                      index=False, coerce_timestamps="us")
+        time.sleep(0.05)
+
+    schema = "event_id long, user_id long, ts timestamp"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    query = (
+        sessionize_stream(stream, gap_us=60_000_000)  # 1-minute gap
+        .writeStream.format("memory")
+        .queryName("quiet_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(180)
+    got = {(r["user_id"], r["session_seq"]): (r["n_events"],
+                                              r["session_start"].minute,
+                                              r["session_end"].second)
+           for r in spark.sql(
+               "SELECT * FROM quiet_sessions WHERE user_id = 1").collect()}
+    assert (1, 1) in got and got[(1, 1)] == (2, 0, 30), got
+    assert (1, 2) in got, (
+        f"session_seq reset across the quiet period: {got}")
+    assert got[(1, 2)][0] == 1 and got[(1, 2)][1] == 15
+    assert set(got) == {(1, 1), (1, 2)}, f"phantom/duplicate sessions: {got}"
