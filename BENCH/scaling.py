@@ -219,6 +219,17 @@ def _measure(bw) -> None:
             probe = _regate() if cores == FOUR_N else pair_probes[-1]
             run_probes.append({"rep": rep, "cores": cores, **probe})
             runs[cores].append(run_at(cores))
+            if cores == FOUR_N:
+                # post-run probe, RECORDED ONLY (never gates): attempt-2
+                # evidence showed a pair whose pre-launch probe passed at
+                # 3.24 but whose 4N run still collapsed (0.419) — the window
+                # died DURING the run. The pre/post pair lets the reader see
+                # that, without retro-fitting the gate.
+                post = {str(p): bandwidth_probe(p) for p in (1, FOUR_N)}
+                post["window_ratio"] = round(
+                    post[str(FOUR_N)] / max(post["1"], 0.1), 2)
+                run_probes.append(
+                    {"rep": rep, "cores": cores, "when": "post", **post})
 
     def median_run(rs: list[dict]) -> dict:
         """The run whose urls/sec is the level's median (lower-median for
@@ -236,8 +247,12 @@ def _measure(bw) -> None:
         for l, h in zip(runs[N], runs[FOUR_N])
     ]
     # feed the cross-attempt pool: one record per pair with the probe the
-    # window-sensitive 4N arm actually launched under
-    probes_4n = [p for p in run_probes if p["cores"] == FOUR_N]
+    # window-sensitive 4N arm actually launched under (post-run probes are
+    # carried as context in probe_4n_post_ratio, never gated on)
+    probes_4n = [p for p in run_probes
+                 if p["cores"] == FOUR_N and p.get("when") != "post"]
+    probes_4n_post = [p for p in run_probes
+                      if p["cores"] == FOUR_N and p.get("when") == "post"]
     _pool_append([
         {
             "attempt_ts": attempt_ts, "rep": i,
@@ -245,6 +260,7 @@ def _measure(bw) -> None:
             "urls_per_sec_4n": h["crawl"]["urls_per_sec"],
             "efficiency": e,
             "probe_4n_ratio": probes_4n[i]["window_ratio"],
+            "probe_4n_post_ratio": probes_4n_post[i]["window_ratio"],
             "scale": SCALE, "n_cores": N,
         }
         for i, (l, h, e) in enumerate(zip(runs[N], runs[FOUR_N], pair_effs))
