@@ -24,6 +24,12 @@ while true; do
   if pgrep -f "pytest" > /dev/null; then
     echo "[gate] pytest running; holding $(date -Is)"; sane=0; sleep 120; continue
   fi
+  # hold while the box is busy with anything else (our own bench/profile
+  # runs depress BOTH probe arms and can fake a sane ratio)
+  load=$(cut -d' ' -f1 /proc/loadavg)
+  if python -c "import sys; sys.exit(0 if float('$load') > 1.5 else 1)"; then
+    echo "[gate] loadavg $load > 1.5; holding $(date -Is)"; sane=0; sleep 120; continue
+  fi
   r=$(probe)
   echo "[gate] window ratio $r (consecutive sane: $sane) $(date -Is)"
   if python -c "import sys; sys.exit(0 if float('$r') >= 2.2 else 1)"; then
