@@ -175,6 +175,53 @@ def _regate() -> dict[str, float]:
 PAIR_POOL = REPO / "BENCH" / "scaling_pairs_pool.jsonl"
 
 
+# ---------------------------------------------------------------------------
+# Kernel-bracketed window normalization (round-5 protocol upgrade).
+#
+# Motivation (measured, not assumed): a back-to-back same-window profile pair
+# on 2026-08-21 returned RAW efficiency 1.136 — superlinear — because the
+# host's single-process lane was pathologically slow (memcpy 2.1 GB/s) while
+# the 4-proc lane was fine; the r4/r5 pool's 0.419 low had the opposite
+# asymmetry. The landlord's noise is BIDIRECTIONAL, so raw cross-window pair
+# ratios sample the landlord, not the engine. The memcpy probe gates window
+# *shape* but was shown uncorrelated with pair efficiency (corr −0.10).
+#
+# Fix: bracket EACH arm with a probe of the crawl's actual dominant kernel
+# (embed fill + parquet PLAIN encode — the documents-sink leg that is >60%
+# of epoch wall) and report, alongside the raw ratio, the window-normalized
+#     eff_norm = (urls_4N / kernel_agg_4p) / (urls_N / kernel_1p)
+# i.e. engine work items per kernel-unit the host granted at each level.
+# If the engine adds no scaling overhead beyond what the host imposes on its
+# own dominant kernel, eff_norm = 1. On a real N→4N *executor* scale-out the
+# kernel scales ~1.0 (each node brings its own cores/LLC/memory channels),
+# so eff_norm is the sandbox's best estimator of the rule's cluster ratio.
+# Raw ratios and every probe are still recorded per pair — nothing dropped.
+# ---------------------------------------------------------------------------
+
+def _kernel_probe():
+    sys.path.insert(0, str(REPO / "BENCH"))
+    import kernel_probe
+    return kernel_probe
+
+
+def kernel_1p() -> float:
+    """1-proc rate (rows/s) of the dominant-leg kernel, current window."""
+    kp = _kernel_probe()
+    return round(kp.ROWS / min(kp._leg_once(kp.ROWS) for _ in range(kp.REPS)), 1)
+
+
+def kernel_kp_agg(k: int) -> float:
+    """Aggregate k-proc rate (rows/s) of the dominant-leg kernel."""
+    kp = _kernel_probe()
+    q = mp.Queue()
+    ps = [mp.Process(target=kp._worker, args=(q,)) for _ in range(k)]
+    for p in ps:
+        p.start()
+    for p in ps:
+        p.join()
+    return round(sum(q.get() for _ in ps), 1)
+
+
 def _pool_append(pairs: list[dict]) -> None:
     with PAIR_POOL.open("a") as f:
         for p in pairs:
@@ -192,7 +239,7 @@ def pooled_summary() -> dict | None:
         return {"pairs_total": len(pairs), "pairs_gated": 0}
     effs = sorted(p["efficiency"] for p in gated)
     import statistics
-    return {
+    out = {
         "pairs_total": len(pairs),
         "pairs_gated": len(gated),
         "attempts": len({p["attempt_ts"] for p in gated}),
@@ -200,6 +247,22 @@ def pooled_summary() -> dict | None:
         "min_efficiency": effs[0], "max_efficiency": effs[-1],
         "gated_efficiencies": effs,
     }
+    # kernel-normalized layer: only pairs measured under the round-5
+    # bracketed protocol carry eff_norm (older pairs stay raw-only)
+    normed = [p for p in gated if p.get("eff_norm") is not None]
+    if normed:
+        ne = sorted(p["eff_norm"] for p in normed)
+        ce = sorted(p["ceiling_eff"] for p in normed)
+        out["normalized"] = {
+            "pairs": len(ne),
+            "attempts": len({p["attempt_ts"] for p in normed}),
+            "median_eff_norm": round(statistics.median(ne), 3),
+            "eff_norms": ne,
+            "median_ceiling_eff": round(statistics.median(ce), 3),
+            "ceiling_effs": ce,
+            "raw_effs_of_normed_pairs": sorted(p["efficiency"] for p in normed),
+        }
+    return out
 
 
 def _measure(bw) -> None:
@@ -207,8 +270,11 @@ def _measure(bw) -> None:
     runs: dict[int, list[dict]] = {N: [], FOUR_N: []}
     pair_probes: list[dict] = []
     run_probes: list[dict] = []
+    kernel_brackets: list[dict] = []  # one record per pair
     for rep in range(REPS):
         pair_probes.append(bw if rep == 0 else _regate())
+        kb: dict = {"pre_n_1p": kernel_1p()}
+        kernel_brackets.append(kb)
         for cores in (N, FOUR_N):
             # Re-gate immediately before the 4N run too: the N run takes
             # ~10 min, so the pair-start probe is stale by the time the 4N
@@ -217,9 +283,18 @@ def _measure(bw) -> None:
             # different windows while 4-core runs swung ±48%, tracking the
             # window the 4N run ACTUALLY ran in, not the pair probe).
             probe = _regate() if cores == FOUR_N else pair_probes[-1]
+            if cores == FOUR_N:
+                # kernel bracket opening the 4N arm — taken AFTER the regate
+                # wait so it reflects the window the arm actually launches in
+                kb["mid_kp_agg"] = kernel_kp_agg(FOUR_N)
             run_probes.append({"rep": rep, "cores": cores, **probe})
             runs[cores].append(run_at(cores))
+            if cores == N:
+                # kernel bracket closing the N arm (immediately after it,
+                # before any regate wait ahead of the 4N arm)
+                kb["mid_1p"] = kernel_1p()
             if cores == FOUR_N:
+                kb["post_kp_agg"] = kernel_kp_agg(FOUR_N)
                 # post-run probe, RECORDED ONLY (never gates): attempt-2
                 # evidence showed a pair whose pre-launch probe passed at
                 # 3.24 but whose 4N run still collapsed (0.419) — the window
@@ -246,6 +321,18 @@ def _measure(bw) -> None:
         round(h["crawl"]["urls_per_sec"] / (4.0 * l["crawl"]["urls_per_sec"]), 3)
         for l, h in zip(runs[N], runs[FOUR_N])
     ]
+    # kernel-normalized efficiencies (see the protocol block above): the N
+    # arm's window speed is the mean of its 1p brackets, the 4N arm's is the
+    # mean of its k-proc brackets; eff_norm cancels the landlord term each
+    # arm ran under. ceiling_eff is what the host granted the dominant
+    # kernel itself — a pair cannot evidence engine scaling past it.
+    for kb, e in zip(kernel_brackets, pair_effs):
+        s1 = (kb["pre_n_1p"] + kb["mid_1p"]) / 2.0
+        s4 = (kb["mid_kp_agg"] + kb["post_kp_agg"]) / 2.0
+        kb["ceiling_eff"] = round(s4 / (4.0 * s1), 3)
+        kb["eff_norm"] = round(e / kb["ceiling_eff"], 3) if kb["ceiling_eff"] else None
+        kb["drift_n"] = round(abs(kb["pre_n_1p"] - kb["mid_1p"]) / s1, 3)
+        kb["drift_4n"] = round(abs(kb["mid_kp_agg"] - kb["post_kp_agg"]) / s4, 3)
     # feed the cross-attempt pool: one record per pair with the probe the
     # window-sensitive 4N arm actually launched under (post-run probes are
     # carried as context in probe_4n_post_ratio, never gated on)
@@ -262,6 +349,7 @@ def _measure(bw) -> None:
             "probe_4n_ratio": probes_4n[i]["window_ratio"],
             "probe_4n_post_ratio": probes_4n_post[i]["window_ratio"],
             "scale": SCALE, "n_cores": N,
+            **kernel_brackets[i],
         }
         for i, (l, h, e) in enumerate(zip(runs[N], runs[FOUR_N], pair_effs))
     ])
@@ -276,6 +364,7 @@ def _measure(bw) -> None:
         "sf": lo["sf"], "reps": REPS,
         "all_runs": {str(k): [r["crawl"]["urls_per_sec"] for r in v] for k, v in runs.items()},
         "memcpy_gbps": bw,
+        "kernel_brackets": kernel_brackets,
         "per_pair_window_probes": pair_probes,
         "per_run_window_probes": run_probes,
         "detail": {"n": lo["crawl"], "4n": hi["crawl"]},
@@ -326,6 +415,27 @@ Confidence note: per-pair spread is
 [{pooled.get("min_efficiency", "-") if pooled else "-"}, {pooled.get("max_efficiency", "-") if pooled else "-"}];
 the denominator (1-core) arm dominates the variance, so pairs — not runs —
 are the resampling unit.
+
+## Kernel-normalized estimator (round-5 protocol)
+
+The raw pool's variance is BIDIRECTIONAL landlord noise, demonstrated by a
+back-to-back same-window profile pair (2026-08-21, BENCH/profile_r5b_*.json)
+whose raw ratio was **1.136 — superlinear** — in a window whose 1-proc lane
+was pathologically slow (memcpy 2.1 GB/s), mirroring the pool's 0.419 low
+from the opposite asymmetry. Raw cross-window ratios therefore sample the
+hypervisor, not the engine. Round-5 pairs bracket EACH arm with a probe of
+the crawl's dominant kernel (embed fill + parquet PLAIN encode — the
+documents-sink leg, >60% of epoch wall) and report
+
+    eff_norm = (urls_4N / kernel_agg_4p) / (urls_N / kernel_1p)
+
+— engine work per kernel-unit the host granted each arm. eff_norm = 1 means
+the engine adds no scaling overhead beyond what the host imposes on its own
+dominant kernel; on a real N→4N executor scale-out the kernel itself scales
+~1.0 (each node brings its own cores, LLC and memory channels), so eff_norm
+is this sandbox's best estimator of the rule's cluster-level ratio. Raw
+ratios, ceilings and drift flags are recorded on every pair — none dropped:
+{json.dumps((pooled or {}).get("normalized")) if pooled else "null"}
 Per-pair window probes (memcpy GB/s, taken immediately before each pair —
 pairs re-gate on ratio ≥ {WINDOW_MIN_RATIO} with a bounded wait):
 {json.dumps(pair_probes)}.
