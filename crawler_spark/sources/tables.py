@@ -438,15 +438,26 @@ def _bucket_writer_kernel(stage_dir: str, bucket_col: str, transform, compressio
 
     Keeps one open ``ParquetWriter`` per bucket seen by the task (bounded by
     the table's bucket modulus), splits each Arrow batch by the bucket
-    column with vectorized masks, and yields (bucket, path, rows) manifest
-    rows on completion. File names carry the partition id plus a fresh
-    uuid, so retried/speculated attempts can never collide.
+    column, and yields (bucket, path, rows) manifest rows on completion.
+    File names carry the partition id plus a fresh uuid, so retried/
+    speculated attempts can never collide.
+
+    Split strategy: rows are ordered by bucket BEFORE the transform runs,
+    with one ``take()`` over the ~1 KB pre-embed rows, and each bucket's
+    run is then a ZERO-COPY contiguous slice. The previous shape
+    (transform first, then one ``filter()`` per bucket) re-copied the
+    post-transform 6 KB embedding rows once per batch — on a 16 GB epoch
+    that is 16 GB of pure memcpy on the exact resource (DRAM bandwidth)
+    that contends across executor cores, i.e. it taxed the N→4N scaling of
+    the engine's single heaviest leg. The transform now runs per slice;
+    its output feeds the parquet writer directly.
     """
 
     def kernel(batches):
         import os
         import uuid
 
+        import numpy as np
         import pyarrow as pa
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
@@ -458,14 +469,21 @@ def _bucket_writer_kernel(stage_dir: str, bucket_col: str, transform, compressio
         tid = ctx.partitionId() if ctx is not None else 0
         tag = uuid.uuid4().hex[:12]
         for b in batches:
-            if transform is not None:
-                b = transform(b)
-            tbl = pa.Table.from_batches([b])
-            bkts = pc.unique(b.column(bucket_col)).to_pylist()
-            for v in bkts:
-                v = int(v)
-                part = tbl.filter(pc.equal(tbl.column(bucket_col), v)) \
-                    if len(bkts) > 1 else tbl
+            if b.num_rows == 0:
+                continue
+            col = b.column(bucket_col)
+            if pc.count_distinct(col).as_py() > 1:
+                b = b.take(pc.sort_indices(col))
+                col = b.column(bucket_col)
+            vals = col.to_numpy()
+            edges = [0, *(np.flatnonzero(np.diff(vals)) + 1).tolist(),
+                     len(vals)]
+            for i in range(len(edges) - 1):
+                v = int(vals[edges[i]])
+                part = b.slice(edges[i], edges[i + 1] - edges[i])
+                if transform is not None:
+                    part = transform(part)
+                part = pa.Table.from_batches([part])
                 w = writers.get(v)
                 if w is None:
                     d = os.path.join(stage_dir, f"_b={v}")
