@@ -16,7 +16,14 @@ Prints, from ``BENCH/scaling_pairs_pool.jsonl``:
   criterion);
 * a per-scale breakdown (320- vs 640-site corpora), since the 640 corpus
   doubles per-run work W while the fixed driver cost F stays constant,
-  raising the efficiency ceiling (W+F)/(W+4F).
+  raising the efficiency ceiling (W+F)/(W+4F);
+* the **normalized layer** (round-5 bracketed pairs only): median
+  eff_norm / ceiling_eff, split into low-drift pairs (kernel brackets
+  moved < 15% across the arm — the pairs whose normalization is
+  trustworthy) and all bracketed pairs;
+* an **engine-version split**: pairs measured after the zero-copy
+  bucket-slice writer landed (commit 1f5c9c8, 2026-08-21 ~03:50) run a
+  different engine than earlier pairs and are summarized separately.
 
 Run: python BENCH/pool_analysis.py
 """
@@ -68,7 +75,50 @@ def main() -> None:
                                  if m is not None and m >= 0.8],
         "by_scale": {s: {"n": len(e), "median": _med(e)}
                      for s, e in sorted(by_scale.items())},
+        "normalized_layer": _normalized(gated),
+        "engine_versions": _engine_split(gated),
     }, indent=2))
+
+
+#: first attempt_ts measured on the post-1f5c9c8 engine (zero-copy
+#: bucket-slice writer); earlier pairs measured the older writer
+ENGINE_V2_SINCE = "2026-08-21T03:50:00"
+
+
+def _normalized(gated: list[dict]) -> dict | None:
+    br = [p for p in gated if p.get("eff_norm") is not None]
+    if not br:
+        return None
+    low_drift = [p for p in br
+                 if p.get("drift_n", 1) < 0.15 and p.get("drift_4n", 1) < 0.15]
+    return {
+        "bracketed_pairs": len(br),
+        "median_eff_norm": _med([p["eff_norm"] for p in br]),
+        "median_ceiling_eff": _med([p["ceiling_eff"] for p in br]),
+        "low_drift": {
+            "n": len(low_drift),
+            "median_raw": _med([p["efficiency"] for p in low_drift]),
+            "median_eff_norm": _med([p["eff_norm"] for p in low_drift]),
+            "pairs": [{k: p[k] for k in
+                       ("attempt_ts", "rep", "efficiency", "eff_norm",
+                        "ceiling_eff", "drift_n", "drift_4n", "scale")}
+                      for p in low_drift],
+        },
+    }
+
+
+def _engine_split(gated: list[dict]) -> dict:
+    v2 = [p for p in gated if p["attempt_ts"] >= ENGINE_V2_SINCE]
+    v1 = [p for p in gated if p["attempt_ts"] < ENGINE_V2_SINCE]
+    return {
+        "pre_slice_writer": {"n": len(v1),
+                             "median": _med([p["efficiency"] for p in v1])},
+        "post_slice_writer": {"n": len(v2),
+                              "median": _med([p["efficiency"] for p in v2]),
+                              "median_eff_norm": _med(
+                                  [p["eff_norm"] for p in v2
+                                   if p.get("eff_norm") is not None])},
+    }
 
 
 if __name__ == "__main__":
